@@ -1,0 +1,99 @@
+"""CRC calculators for TS 38.212 Section 5.1.
+
+The reference ships generic/LUT/CLMUL CPU implementations
+(reference: lib/phy/upper/channel_coding/crc_calculator_generic_impl.cpp:29-55).
+On TPU, CRC over GF(2) is a bit-matrix product: crc(m) = XOR over set message
+bits of basis vectors r_d = x^(d + L) mod g(x), where d is the bit's distance
+from the message end.  We precompute the basis once per (poly, max length) on
+the host (log-doubling, vectorized) and evaluate on device as a single MXU
+matmul with an exact float32 accumulation followed by mod 2.
+
+`crc_host` gives an identical host-side numpy implementation for small inputs
+and for the segmenter's per-CB CRC attachment.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+#: Generator polynomials including the leading term, as in TS 38.212 Section 5.1.
+POLYS = {
+    "CRC24A": (24, 0x1864CFB),
+    "CRC24B": (24, 0x1800063),
+    "CRC24C": (24, 0x1B2B117),
+    "CRC16": (16, 0x11021),
+    "CRC11": (11, 0xE21),
+    "CRC6": (6, 0x61),
+}
+
+
+def _mul_x_matrix(order: int, poly: int) -> np.ndarray:
+    """24x24 (or LxL) GF(2) matrix applying r -> r*x mod g. Bit i = coeff of x^i."""
+    mat = np.zeros((order, order), dtype=np.uint8)
+    g = poly & ((1 << order) - 1)  # g without the leading term
+    for i in range(order):
+        shifted = i + 1
+        if shifted < order:
+            mat[shifted, i] = 1
+        else:
+            for j in range(order):
+                mat[j, i] = (g >> j) & 1
+    return mat
+
+
+@functools.lru_cache(maxsize=None)
+def crc_basis(name: str, length: int) -> np.ndarray:
+    """Basis matrix (length, order) uint8: row d = x^(length-1-d + order) mod g.
+
+    Row d multiplies message bit d (MSB-first message of `length` bits).
+    """
+    order, poly = POLYS[name]
+    a = _mul_x_matrix(order, poly)
+    # r for distance 0 (last message bit): x^order mod g.
+    r0 = np.zeros(order, dtype=np.uint8)
+    g = poly & ((1 << order) - 1)
+    for j in range(order):
+        r0[j] = (g >> j) & 1
+    # Build rows for distance d = 0.. by doubling: block_{2m} = [block_m ; A^m block_m].
+    rows = r0[None, :].copy()
+    a_pow = a.copy()  # A^m with m = current block length
+    while rows.shape[0] < length:
+        ext = (rows.astype(np.int64) @ a_pow.T.astype(np.int64)) % 2
+        rows = np.concatenate([rows, ext.astype(np.uint8)], axis=0)
+        a_pow = (a_pow.astype(np.int64) @ a_pow.astype(np.int64) % 2).astype(np.uint8)
+    rows = rows[:length]
+    # Distance d corresponds to message index length-1-d.
+    return rows[::-1].copy()
+
+
+def crc_host(bits: np.ndarray, name: str) -> np.ndarray:
+    """CRC of an MSB-first uint8 bit array -> uint8 bit array of CRC (MSB first)."""
+    order, _ = POLYS[name]
+    basis = crc_basis(name, len(bits))
+    rem = (bits.astype(np.int64) @ basis.astype(np.int64)) % 2  # coeff of x^j at bit j
+    return rem[::-1].astype(np.uint8)  # MSB (x^{L-1}) first
+
+
+def crc_device(bits, name: str):
+    """Batched device CRC: bits (..., N) uint8/int -> (..., order) uint8 MSB-first.
+
+    Uses one float32 matmul on the MXU; exact for N < 2^24.
+    """
+    order, _ = POLYS[name]
+    n = bits.shape[-1]
+    basis = jnp.asarray(crc_basis(name, n), dtype=jnp.float32)  # (N, order)
+    rem = jnp.matmul(bits.astype(jnp.float32), basis, preferred_element_type=jnp.float32)
+    rem = jnp.mod(rem.astype(jnp.int32), 2).astype(jnp.uint8)
+    return rem[..., ::-1]  # MSB first
+
+
+def crc_check_device(bits_with_crc, name: str):
+    """Check CRC over (..., N+order) bits: returns boolean (...) true when OK."""
+    order, _ = POLYS[name]
+    payload = bits_with_crc[..., :-order]
+    expect = bits_with_crc[..., -order:].astype(jnp.uint8)
+    got = crc_device(payload, name)
+    return jnp.all(got == expect, axis=-1)

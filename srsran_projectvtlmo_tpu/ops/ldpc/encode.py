@@ -1,0 +1,117 @@
+"""LDPC systematic encoder (TS 38.212 Section 5.3.2) as a batched XLA program.
+
+The reference encodes with sparse XOR accumulations and four hand-picked
+high-rate-region strategies per (BG, lifting index)
+(reference: lib/phy/upper/channel_coding/ldpc/ldpc_encoder_generic.cpp:33-121).
+Here the strategy is derived structurally from the tables (graphs.EncodePlan)
+and the whole encode is one fused batched program:
+
+  1. lambda_r = XOR over info edges of row r of rotated info blocks (gather +
+     one-hot matmul reduction over GF(2), exact in int32);
+  2. core parity p0 from the telescoped XOR of the four core lambdas;
+  3. p1..p3 by verified back-substitution;
+  4. extension parities directly from their rows.
+
+Layout: bits live as (batch, node, Z) uint8; rotation by s is a gather at
+index (z + s) mod Z, matching H[(r,i),(c,j)] = 1 iff j = (i + s) mod Z.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ran.ldpc_params import BaseGraph
+from .graphs import LdpcGraph, get_graph
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_tables(bg: BaseGraph, z: int):
+    """Precomputed numpy gather/scatter tables for the jitted encoder."""
+    g = get_graph(bg, z)
+    kb, m = g.kb, g.m
+    shifts = g.shifts
+
+    info_edges = [(r, c, shifts[r, c]) for r in range(m) for c in range(kb) if shifts[r, c] >= 0]
+    rows = np.array([e[0] for e in info_edges], dtype=np.int32)
+    cols = np.array([e[1] for e in info_edges], dtype=np.int32)
+    ss = np.array([e[2] for e in info_edges], dtype=np.int32)
+    zz = np.arange(z, dtype=np.int32)
+    rot_idx = (zz[None, :] + ss[:, None]) % z  # (E, Z)
+    # One-hot row scatter matrix for the XOR reduction (E, M), used as matmul.
+    row_onehot = np.zeros((len(rows), m), dtype=np.float32)
+    row_onehot[np.arange(len(rows)), rows] = 1.0
+
+    # Per core row, (parity_local, shift) pairs for back-substitution terms.
+    core_parity = [[(p, shifts[r, kb + p]) for p in range(4) if shifts[r, kb + p] >= 0] for r in range(m)]
+    return g, rot_idx, cols, row_onehot, core_parity
+
+
+def _rot(v, s: int, z: int):
+    """rot_s(v)[..., i] = v[..., (i+s) mod z] -- roll left by s (static shift)."""
+    if s % z == 0:
+        return v
+    return jnp.roll(v, -s, axis=-1)
+
+
+def ldpc_encode(info_bits, bg: BaseGraph, z: int):
+    """Encode (B, K) uint8 info bits (filler bits must be 0) -> (B, N_full * Z).
+
+    Output contains all variable nodes including the two punctured systematic
+    blocks; slice [2Z:] for the rate-matching buffer.
+    """
+    return _encode_jit(info_bits, bg, z)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _encode_jit(info_bits, bg: BaseGraph, z: int):
+    g, rot_idx, cols, row_onehot, core_parity = _encode_tables(bg, z)
+    kb, m = g.kb, g.m
+    b = info_bits.shape[0]
+    info = info_bits.reshape(b, kb, z)
+
+    # Gather info blocks per edge and rotate: (B, E, Z).
+    gathered = info[:, jnp.asarray(cols)]
+    rotated = jnp.take_along_axis(
+        gathered, jnp.broadcast_to(jnp.asarray(rot_idx)[None], gathered.shape), axis=-1
+    )
+    # XOR-reduce per check row via exact integer matmul: (B, Z, E) @ (E, M) -> parity count.
+    counts = jnp.einsum(
+        "bez,em->bmz",
+        rotated.astype(jnp.float32),
+        jnp.asarray(row_onehot),
+        preferred_element_type=jnp.float32,
+    )
+    lam = jnp.mod(counts.astype(jnp.int32), 2).astype(jnp.uint8)  # (B, M, Z)
+
+    # Core parity solve.
+    plan = g.encode_plan
+    core_l = lam[:, 0] ^ lam[:, 1] ^ lam[:, 2] ^ lam[:, 3]
+    p = [None] * 4
+    # rot_a(p0) = L  =>  p0 = rot_{-a}(L).
+    p[0] = _rot(core_l, (z - plan.p0_shift % z) % z, z)
+    for local, r in plan.solve_order:
+        acc = lam[:, r]
+        for q, s in _core_parity_terms(bg, z, r):
+            if q != local:
+                acc = acc ^ _rot(p[q], s, z)
+        p[local] = acc
+
+    # Extension parities: rows 4..M-1, one new parity each with identity diagonal.
+    ext = []
+    for r in range(4, m):
+        acc = lam[:, r]
+        for q, s in _core_parity_terms(bg, z, r):
+            acc = acc ^ _rot(p[q], s, z)
+        ext.append(acc)
+
+    parity = jnp.stack(p + ext, axis=1)  # (B, M, Z)
+    out = jnp.concatenate([info, parity], axis=1)  # (B, N_full, Z)
+    return out.reshape(b, -1)
+
+
+def _core_parity_terms(bg: BaseGraph, z: int, row: int):
+    return _encode_tables(bg, z)[4][row]

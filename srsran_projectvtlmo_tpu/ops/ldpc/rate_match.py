@@ -1,0 +1,114 @@
+"""LDPC rate matching / recovery, TS 38.212 Sections 5.4.2.1-5.4.2.2.
+
+The circular-buffer bit selection (rv-dependent k0, filler skipping) and the
+row-column bit interleaver are pure index permutations, precomputed on host per
+(bg, z, filler, rv, E, Qm) and applied on device as a single gather (Tx) or a
+scatter-accumulate (Rx).
+reference: lib/phy/upper/channel_coding/ldpc/ldpc_rate_matcher_impl.cpp:60-115,
+ldpc_rate_dematcher_impl.cpp:46-184.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ran.ldpc_params import BaseGraph
+from ...utils.llr import LLR_MAX, LLR_INFTY
+
+
+def k0_index(bg: BaseGraph, rv: int, n_cb: int, z: int) -> int:
+    """Starting position of the circular buffer per redundancy version (Table 5.4.2.1-2)."""
+    if bg == BaseGraph.BG1:
+        num = {0: 0, 1: 17, 2: 33, 3: 56}[rv]
+        den = 66
+    else:
+        num = {0: 0, 1: 13, 2: 25, 3: 43}[rv]
+        den = 50
+    return (num * n_cb // (den * z)) * z
+
+
+@functools.lru_cache(maxsize=None)
+def rate_match_plan(
+    bg: BaseGraph,
+    z: int,
+    nof_filler: int,
+    rv: int,
+    e: int,
+    qm: int,
+    n_cb: int | None = None,
+) -> np.ndarray:
+    """(E,) int32 gather indices from the N-bit circular buffer to the output bits.
+
+    The buffer is the encoder output minus the two punctured systematic blocks:
+    length N = (n_full - 2) * z.  Filler bits occupy [K - 2Z - F, K - 2Z).
+    """
+    n_nodes = 66 if bg == BaseGraph.BG1 else 50
+    kb = 22 if bg == BaseGraph.BG1 else 10
+    n = n_nodes * z
+    if n_cb is None:
+        n_cb = n
+    k0 = k0_index(bg, rv, n_cb, z)
+
+    filler_start = kb * z - 2 * z - nof_filler
+    filler_end = kb * z - 2 * z
+    is_filler = np.zeros(n_cb, dtype=bool)
+    is_filler[filler_start:filler_end] = True
+
+    order = (k0 + np.arange(n_cb)) % n_cb
+    valid = order[~is_filler[order]]
+    reps = -(-e // len(valid))
+    sel = np.tile(valid, reps)[:e].astype(np.int32)
+
+    # Bit interleaver: f[i + j*Qm] = e[i*(E/Qm) + j]  (Section 5.4.2.2).
+    j = np.arange(e // qm)
+    i = np.arange(qm)
+    perm = (i[None, :] * (e // qm) + j[:, None]).reshape(-1)  # index into e for output pos j*Qm+i
+    return sel[perm]
+
+
+def rate_match(codeword, bg: BaseGraph, z: int, nof_filler: int, rv: int, e: int, qm: int):
+    """Tx bit selection+interleave: codeword (B, N) bits -> (B, E) bits."""
+    idx = jnp.asarray(rate_match_plan(bg, z, nof_filler, rv, e, qm))
+    return jnp.take(codeword, idx, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def rate_dematch_plan(bg: BaseGraph, z: int, nof_filler: int, rv: int, e: int, qm: int):
+    """(scatter_idx (E,), filler_mask (N,)) for Rx soft-bit recovery."""
+    sel = rate_match_plan(bg, z, nof_filler, rv, e, qm)
+    n_nodes = 66 if bg == BaseGraph.BG1 else 50
+    kb = 22 if bg == BaseGraph.BG1 else 10
+    n = n_nodes * z
+    filler = np.zeros(n, dtype=bool)
+    filler[kb * z - 2 * z - nof_filler:kb * z - 2 * z] = True
+    return sel, filler
+
+
+def rate_dematch(llrs, bg: BaseGraph, z: int, nof_filler: int, rv: int, e: int, qm: int):
+    """Rx: (B, E) int8 LLRs -> (B, N) int8 circular-buffer LLRs.
+
+    Repeated positions accumulate (saturated at +/-LLR_MAX); filler positions are
+    fixed to +LLR_INFTY (bit surely 0); unseen positions are 0.
+    """
+    sel, filler = rate_dematch_plan(bg, z, nof_filler, rv, e, qm)
+    n = len(filler)
+    acc = jnp.zeros(llrs.shape[:-1] + (n,), jnp.int32)
+    acc = acc.at[..., jnp.asarray(sel)].add(llrs.astype(jnp.int32))
+    acc = jnp.clip(acc, -LLR_MAX, LLR_MAX)
+    acc = jnp.where(jnp.asarray(filler), LLR_INFTY, acc)
+    return acc.astype(jnp.int8)
+
+
+def harq_combine(buffer, new_llrs):
+    """Soft-combine a dematched transmission into the HARQ buffer (promotion sum).
+
+    reference: lib/phy/upper/channel_coding/ldpc/ldpc_rate_dematcher_impl.cpp:116
+    combines with saturation; fixed bits (+/-INFTY) stay fixed.
+    """
+    from ...utils.llr import llr_promotion_sum
+
+    return llr_promotion_sum(buffer, new_llrs)

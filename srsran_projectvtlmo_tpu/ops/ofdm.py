@@ -1,0 +1,106 @@
+"""OFDM modulation / demodulation (TS 38.211 Section 5.3) as batched FFT programs.
+
+grid -> time samples: per-symbol subcarrier mapping around DC, batched IFFT over
+all symbols of the slot, cyclic-prefix insertion (long CP on the first symbol of
+each half subframe), TS 38.211 Section 5.4 phase compensation, scaling.
+reference: lib/phy/lower/modulation/ofdm_modulator_impl.cpp:56-101 (modulate),
+ofdm_demodulator_impl.cpp:94 (demodulate).
+
+All public entry points use real-pair I/O (see utils/cplx.py); complex math is
+jit-internal.  Shapes are static per (nof_symbols, nof_subc, dft_size, mu, slot).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.cplx import to_cplx, from_cplx
+
+SYMBOLS_PER_SLOT = 14
+
+
+def cp_lengths(dft_size: int, mu: int, slot_in_subframe: int) -> list[int]:
+    """Normal-CP lengths in samples for the 14 symbols of the given slot.
+
+    CP is 144 * (dft/2048) samples, +16 * (dft/2048) on symbols at subframe
+    position l = 0 and l = 7 * 2^mu (the first symbol of each half subframe).
+    """
+    base = 144 * dft_size // 2048
+    extra = 16 * dft_size // 2048
+    lengths = []
+    for l_slot in range(SYMBOLS_PER_SLOT):
+        l_sub = slot_in_subframe * SYMBOLS_PER_SLOT + l_slot
+        long_cp = l_sub == 0 or l_sub == 7 * (1 << mu)
+        lengths.append(base + (extra if long_cp else 0))
+    return lengths
+
+
+def slot_sample_count(dft_size: int, mu: int, slot_in_subframe: int = 0) -> int:
+    return sum(cp_lengths(dft_size, mu, slot_in_subframe)) + SYMBOLS_PER_SLOT * dft_size
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_compensation(dft_size: int, mu: int, slot_in_subframe: int, center_freq_hz: float) -> np.ndarray:
+    """Per-symbol phase compensation factors exp(-j 2 pi f_c t_start_l)."""
+    scs = 15e3 * (1 << mu)
+    srate = dft_size * scs
+    cps = cp_lengths(dft_size, mu, slot_in_subframe)
+    t = 0.0
+    factors = []
+    for l in range(SYMBOLS_PER_SLOT):
+        t_start = (t + cps[l]) / srate  # symbol body start
+        factors.append(np.exp(-2j * np.pi * center_freq_hz * t_start))
+        t += cps[l] + dft_size
+    return np.asarray(factors, dtype=np.complex64)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def ofdm_modulate(grid_pair, dft_size: int, mu: int, slot_in_subframe: int = 0,
+                  center_freq_hz: float = 0.0, scale: float = 1.0):
+    """(..., 14, nsubc, 2) resource grid -> (..., nsamples, 2) baseband.
+
+    Subcarrier k in [0, nsubc) maps to DFT bin (k - nsubc/2) mod dft.
+    """
+    nsubc = grid_pair.shape[-2]
+    grid = to_cplx(grid_pair)  # (..., 14, nsubc)
+    half = nsubc // 2
+    bins = jnp.zeros(grid.shape[:-1] + (dft_size,), jnp.complex64)
+    bins = bins.at[..., dft_size - half:].set(grid[..., :half])
+    bins = bins.at[..., : nsubc - half].set(grid[..., half:])
+    x = jnp.fft.ifft(bins, axis=-1) * (dft_size * scale)
+    phase = jnp.asarray(_phase_compensation(dft_size, mu, slot_in_subframe, center_freq_hz))
+    x = x * phase.reshape((SYMBOLS_PER_SLOT, 1))
+    cps = cp_lengths(dft_size, mu, slot_in_subframe)
+    pieces = []
+    for l in range(SYMBOLS_PER_SLOT):
+        sym = x[..., l, :]
+        pieces.append(sym[..., dft_size - cps[l]:])
+        pieces.append(sym)
+    out = jnp.concatenate(pieces, axis=-1)
+    return from_cplx(out)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def ofdm_demodulate(samples_pair, nsubc: int, dft_size: int, mu: int,
+                    slot_in_subframe: int = 0, center_freq_hz: float = 0.0, scale: float = 1.0):
+    """(..., nsamples, 2) baseband -> (..., 14, nsubc, 2) resource grid."""
+    x = to_cplx(samples_pair)
+    cps = cp_lengths(dft_size, mu, slot_in_subframe)
+    offs = []
+    t = 0
+    for l in range(SYMBOLS_PER_SLOT):
+        offs.append(t + cps[l])
+        t += cps[l] + dft_size
+    syms = jnp.stack([jax.lax.dynamic_slice_in_dim(x, o, dft_size, axis=-1) for o in offs], axis=-2)
+    bins = jnp.fft.fft(syms, axis=-1) / jnp.complex64(dft_size)
+    phase = jnp.asarray(_phase_compensation(dft_size, mu, slot_in_subframe, center_freq_hz))
+    bins = bins * jnp.conj(phase).reshape((SYMBOLS_PER_SLOT, 1))
+    half = nsubc // 2
+    grid = jnp.concatenate(
+        [bins[..., dft_size - half:], bins[..., : nsubc - half]], axis=-1
+    ) * jnp.complex64(scale)
+    return from_cplx(grid)

@@ -1,0 +1,145 @@
+"""Tests for OFDM modulation, soft demapping, and equalization."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from srsran_projectvtlmo_tpu.ops import ofdm, demodulation, modulation, equalization
+from srsran_projectvtlmo_tpu.ran.modulation import Modulation
+from srsran_projectvtlmo_tpu.utils.cplx import np_to_pair, pair_to_np
+
+
+class TestOfdm:
+    @pytest.mark.parametrize("dft,mu,nrb", [(2048, 0, 106), (4096, 1, 273), (1024, 1, 51)])
+    def test_mod_demod_roundtrip(self, dft, mu, nrb):
+        nsubc = nrb * 12
+        rng = np.random.default_rng(4)
+        grid = (rng.normal(size=(14, nsubc)) + 1j * rng.normal(size=(14, nsubc))).astype(np.complex64)
+        samples = ofdm.ofdm_modulate(jnp.asarray(np_to_pair(grid)), dft, mu, 0)
+        assert samples.shape == (ofdm.slot_sample_count(dft, mu, 0), 2)
+        back = ofdm.ofdm_demodulate(samples, nsubc, dft, mu, 0)
+        err = np.abs(pair_to_np(np.asarray(back)) - grid)
+        assert err.max() < 1e-3, f"max reconstruction err {err.max()}"
+
+    def test_phase_compensation_roundtrip(self):
+        dft, mu, nsubc = 1024, 1, 600
+        fc = 3.5e9
+        rng = np.random.default_rng(5)
+        grid = (rng.normal(size=(14, nsubc)) + 1j * rng.normal(size=(14, nsubc))).astype(np.complex64)
+        samples = ofdm.ofdm_modulate(jnp.asarray(np_to_pair(grid)), dft, mu, 0, fc)
+        back = ofdm.ofdm_demodulate(samples, nsubc, dft, mu, 0, fc)
+        err = np.abs(pair_to_np(np.asarray(back)) - grid)
+        assert err.max() < 1e-2
+
+    def test_cp_lengths(self):
+        # 30 kHz SCS, 4096-point: symbol 0 of slot 0 has the long CP.
+        cps = ofdm.cp_lengths(4096, 1, 0)
+        assert cps[0] == 288 + 32
+        assert all(c == 288 for c in cps[1:])
+        # Slot 1 at 30 kHz starts the second half subframe -> long CP too.
+        cps1 = ofdm.cp_lengths(4096, 1, 1)
+        assert cps1[0] == 288 + 32
+        # 15 kHz: symbols 0 and 7 long.
+        cps15 = ofdm.cp_lengths(2048, 0, 0)
+        assert cps15[0] == 160 and cps15[7] == 160 and cps15[1] == 144
+
+
+class TestSoftDemap:
+    @pytest.mark.parametrize("mod", [Modulation.QPSK, Modulation.QAM16, Modulation.QAM64, Modulation.QAM256])
+    def test_noiseless_hard_roundtrip(self, mod):
+        from srsran_projectvtlmo_tpu.ran.modulation import bits_per_symbol
+        rng = np.random.default_rng(6)
+        nsym = 300
+        bits = rng.integers(0, 2, nsym * bits_per_symbol(mod)).astype(np.uint8)
+        sym = modulation.modulate(jnp.asarray(bits), mod)
+        pair = np.stack([np.asarray(jnp.real(sym)), np.asarray(jnp.imag(sym))], -1)
+        nv = np.full(nsym, 0.05, np.float32)
+        llr = demodulation.soft_demap(jnp.asarray(pair), jnp.asarray(nv), mod)
+        hard = np.asarray(demodulation.hard_demap(llr))
+        np.testing.assert_array_equal(hard, bits)
+
+    def test_qpsk_llr_values(self):
+        # QPSK max-log LLR = 2 sqrt(2) y / nvar componentwise.
+        y = np.array([[0.3, -0.5]], np.float32)
+        nv = np.array([0.5], np.float32)
+        llr = np.asarray(demodulation.soft_demap(jnp.asarray(y), jnp.asarray(nv), Modulation.QPSK))
+        expect = 2 * np.sqrt(2) * y[0] / nv[0]
+        got_float = llr.astype(np.float64) / 120 * 20
+        np.testing.assert_allclose(got_float, expect, atol=0.17)
+
+    def test_zero_noise_var_gives_zero(self):
+        y = np.array([[0.3, -0.5]], np.float32)
+        nv = np.array([0.0], np.float32)
+        llr = np.asarray(demodulation.soft_demap(jnp.asarray(y), jnp.asarray(nv), Modulation.QPSK))
+        assert (llr == 0).all()
+
+
+class TestEqualizer:
+    def test_mmse_1xn_flat_channel(self):
+        """Unit channel, low noise: output approximates input; nvar sensible."""
+        rng = np.random.default_rng(8)
+        nre, ports = 128, 4
+        x = (rng.normal(size=nre) + 1j * rng.normal(size=nre)).astype(np.complex64)
+        h = np.ones((nre, ports), np.complex64)
+        y = x[:, None] * h
+        out, nv = equalization.equalize_mmse_1xn(
+            jnp.asarray(np_to_pair(y)), jnp.asarray(np_to_pair(h)), jnp.asarray(np.full(ports, 1e-3, np.float32))
+        )
+        got = pair_to_np(np.asarray(out))
+        np.testing.assert_allclose(got, x, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(nv), 1e-3 / ports, rtol=0.01)
+
+    def test_mmse_1xn_matches_reference_formula(self):
+        rng = np.random.default_rng(9)
+        nre, ports = 64, 2
+        h = (rng.normal(size=(nre, ports)) + 1j * rng.normal(size=(nre, ports))).astype(np.complex64)
+        y = (rng.normal(size=(nre, ports)) + 1j * rng.normal(size=(nre, ports))).astype(np.complex64)
+        nvar = np.array([0.1, 0.3], np.float32)
+        beta = 0.7
+        out, nv = equalization.equalize_mmse_1xn(
+            jnp.asarray(np_to_pair(y)), jnp.asarray(np_to_pair(h)), jnp.asarray(nvar), beta
+        )
+        hs = h * beta
+        c = (np.abs(hs) ** 2).sum(1)
+        nacc = ((np.abs(hs) ** 2) * nvar[None, :]).sum(1)
+        mf = (y * hs.conj()).sum(1)
+        expect = mf * c / (c * c + nacc)
+        np.testing.assert_allclose(pair_to_np(np.asarray(out)), expect, rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(nv), nacc / (c * c + nacc), rtol=2e-4)
+
+    def test_degenerate_inputs(self):
+        y = np.zeros((4, 2, 2), np.float32)
+        h = np.zeros((4, 2, 2), np.float32)
+        out, nv = equalization.equalize_mmse_1xn(jnp.asarray(y), jnp.asarray(h), jnp.asarray(np.ones(2, np.float32)))
+        assert (np.asarray(out) == 0).all()
+        assert np.isinf(np.asarray(nv)).all()
+
+    def test_mmse_general_single_layer_consistent(self):
+        """General solver on L=1 should closely track the closed form at high SNR."""
+        rng = np.random.default_rng(10)
+        nre, ports = 32, 4
+        h = (rng.normal(size=(nre, ports)) + 1j * rng.normal(size=(nre, ports))).astype(np.complex64)
+        x = (rng.normal(size=nre) + 1j * rng.normal(size=nre)).astype(np.complex64)
+        y = h * x[:, None]
+        nvar = np.full(ports, 1e-4, np.float32)
+        out, nv = equalization.equalize_mmse_general(
+            jnp.asarray(np_to_pair(y)), jnp.asarray(np_to_pair(h[:, :, None])), jnp.asarray(nvar)
+        )
+        got = pair_to_np(np.asarray(out))[:, 0]
+        np.testing.assert_allclose(got, x, atol=1e-2)
+
+    def test_mmse_general_two_layers(self):
+        rng = np.random.default_rng(11)
+        nre, ports, layers = 64, 4, 2
+        h = (rng.normal(size=(nre, ports, layers)) + 1j * rng.normal(size=(nre, ports, layers))).astype(np.complex64) / np.sqrt(2)
+        x = (rng.normal(size=(nre, layers)) + 1j * rng.normal(size=(nre, layers))).astype(np.complex64)
+        y = np.einsum("rpl,rl->rp", h, x)
+        nvar = np.full(ports, 1e-4, np.float32)
+        out, nv = equalization.equalize_mmse_general(
+            jnp.asarray(np_to_pair(y)), jnp.asarray(np_to_pair(h)), jnp.asarray(nvar)
+        )
+        got = pair_to_np(np.asarray(out))
+        err = np.abs(got - x).max()
+        assert err < 0.05, f"layer separation error {err}"
+        assert (np.asarray(nv) < 0.01).all()
