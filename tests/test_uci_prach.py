@@ -1,0 +1,90 @@
+"""Tests for short-block UCI codes, the UCI decoder, and PRACH generate/detect."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from srsran_projectvtlmo_tpu.ops import short_block, uci, prach
+
+
+class TestShortBlock:
+    @pytest.mark.parametrize("k", list(range(1, 12)))
+    def test_noiseless_detection(self, k):
+        rng = np.random.default_rng(k)
+        msgs = rng.integers(0, 2, (8, k)).astype(np.uint8)
+        e = 32 if k > 2 else (6 if k == 2 else 2)
+        llrs = np.stack([
+            (1 - 2 * short_block.encode_host(m, e, 2).astype(np.int32)) * 50 for m in msgs
+        ]).astype(np.int8)
+        bits, metric = short_block.detect(jnp.asarray(llrs), k, 2)
+        np.testing.assert_array_equal(np.asarray(bits), msgs)
+        assert (np.asarray(metric) > 0.9).all()
+
+    def test_noisy_detection_k4(self):
+        rng = np.random.default_rng(99)
+        msgs = rng.integers(0, 2, (50, 4)).astype(np.uint8)
+        clean = np.stack([
+            (1 - 2 * short_block.encode_host(m, 32, 2).astype(np.float64)) for m in msgs
+        ])
+        noisy = clean + rng.normal(0, 0.7, clean.shape)
+        llrs = np.clip(np.round(20 * noisy), -120, 120).astype(np.int8)
+        bits, _ = short_block.detect(jnp.asarray(llrs), 4, 2)
+        word_ok = (np.asarray(bits) == msgs).all(axis=1)
+        assert word_ok.mean() > 0.9
+
+
+class TestUci:
+    @pytest.mark.parametrize("k,e", [(12, 96), (19, 128), (20, 160), (60, 432), (400, 2304)])
+    def test_polar_uci_roundtrip(self, k, e):
+        rng = np.random.default_rng(k)
+        msg = rng.integers(0, 2, k).astype(np.uint8)
+        tx = uci.uci_encode(msg, e)
+        assert tx.shape == (e,)
+        llr = ((1 - 2 * tx.astype(np.int32)) * 20).astype(np.int8)
+        bits, ok = uci.uci_decode(jnp.asarray(llr[None]), k)
+        assert bool(np.asarray(ok)[0]), f"UCI CRC failed K={k} E={e}"
+        np.testing.assert_array_equal(np.asarray(bits)[0], msg)
+
+    def test_short_uci_roundtrip(self):
+        msg = np.array([1, 0, 1], dtype=np.uint8)
+        tx = uci.uci_encode(msg, 32)
+        llr = ((1 - 2 * tx.astype(np.int32)) * 30).astype(np.int8)
+        bits, ok = uci.uci_decode(jnp.asarray(llr[None]), 3)
+        np.testing.assert_array_equal(np.asarray(bits)[0], msg)
+        assert bool(np.asarray(ok)[0])
+
+
+class TestPrach:
+    @pytest.mark.parametrize("fmt_len,ncs_table,zcz", [(839, "1.25kHz", 1), (839, "1.25kHz", 11), (139, "short", 11)])
+    def test_generate_detect_roundtrip(self, fmt_len, ncs_table, zcz):
+        cfg = prach.PrachDetectorConfig(
+            sequence_length=fmt_len, root_sequence_index=39, zero_correlation_zone=zcz,
+            ncs_table=ncs_table,
+        )
+        rng = np.random.default_rng(zcz)
+        for pidx in (0, 5, 17, 63):
+            freq = prach.prach_generate(cfg, pidx)
+            # Apply a small delay within the zone and mild noise.
+            max_ta = max(cfg.ncs - 2, 0)
+            ta = min(3, max_ta)
+            k = np.arange(fmt_len)
+            rx = freq * np.exp(-2j * np.pi * k * ta / fmt_len)
+            rx = rx + (rng.normal(size=fmt_len) + 1j * rng.normal(size=fmt_len)) * 0.02
+            pair = np.stack([rx.real, rx.imag], -1).astype(np.float32)
+            dets = prach.prach_detect(jnp.asarray(pair[None]), cfg)[0]
+            assert dets, f"no detection for preamble {pidx}"
+            best = max(dets, key=lambda d: d[2])
+            assert best[0] == pidx, f"wrong preamble: {best} expected {pidx}"
+            assert abs(best[1] - ta) <= 1.5, f"TA {best[1]} vs {ta}"
+
+    def test_no_false_alarm_on_noise(self):
+        cfg = prach.PrachDetectorConfig(
+            sequence_length=839, root_sequence_index=0, zero_correlation_zone=5,
+            threshold=10.0,
+        )
+        rng = np.random.default_rng(1)
+        rx = (rng.normal(size=839) + 1j * rng.normal(size=839)) * 0.5
+        pair = np.stack([rx.real, rx.imag], -1).astype(np.float32)
+        dets = prach.prach_detect(jnp.asarray(pair[None]), cfg)[0]
+        assert dets == []
