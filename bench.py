@@ -35,6 +35,7 @@ def main() -> None:
         nof_rx_ports=int(os.environ.get("BENCH_PORTS", "1")),
         dft_size=4096,
         numerology=1,
+        use_pallas_decoder=os.environ.get("BENCH_PALLAS", "1") == "1",
     )
     tx = build_ulsch_tx_slot(cfg)
     rx = build_pusch_rx_slot(cfg)

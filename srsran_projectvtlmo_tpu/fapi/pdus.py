@@ -1,0 +1,160 @@
+"""FAPI-shaped PDU dataclasses: the public slot API of the framework.
+
+These mirror the PDU set the reference's FAPI adaptor translates into PHY
+processor configurations (reference: lib/fapi_adaptor/phy/fapi_to_phy_translator.cpp,
+include/srsran/fapi/messages.h): dl_tti_request (SSB/PDCCH/PDSCH/CSI-RS),
+tx_data_request, ul_tti_request (PRACH/PUSCH/PUCCH), and the uplink result
+indications (CRC, RxData, UCI, RACH).
+
+Static (shape-determining) fields are frozen dataclass members so PDUs are
+hashable compile-cache keys; payloads travel separately.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ran.modulation import Modulation
+
+
+@dataclass(frozen=True)
+class SsbPdu:
+    phys_cell_id: int
+    ssb_block_index: int
+    sfn: int
+    half_radio_frame: bool
+    ssb_subcarrier_offset: int = 0
+    ssb_offset_pointa: int = 0
+    l_max: int = 8
+    mib_payload: tuple[int, ...] = tuple([0] * 24)
+
+
+@dataclass(frozen=True)
+class PdcchPdu:
+    rnti: int
+    nof_dci_bits: int
+    aggregation_level: int
+    cce_index: int
+    start_symbol: int
+    n_id: int = 0
+    n_rnti: int = 0
+    #: First RB of the CORESET region used by this candidate.
+    coreset_rb_start: int = 0
+
+
+@dataclass(frozen=True)
+class PdschPdu:
+    rnti: int
+    rb_start: int
+    rb_size: int
+    modulation: Modulation
+    target_code_rate: float
+    rv: int = 0
+    nof_layers: int = 1
+    start_symbol: int = 2
+    nof_symbols: int = 12
+    dmrs_symbols: tuple[int, ...] = (2,)
+    n_id: int = 0
+
+
+@dataclass(frozen=True)
+class PuschPdu:
+    rnti: int
+    rb_start: int
+    rb_size: int
+    modulation: Modulation
+    target_code_rate: float
+    harq_id: int = 0
+    new_data: bool = True
+    rv: int = 0
+    nof_layers: int = 1
+    start_symbol: int = 0
+    nof_symbols: int = 14
+    dmrs_symbols: tuple[int, ...] = (2,)
+    n_id: int = 0
+    #: UCI multiplexing (HARQ-ACK bits riding on PUSCH) -- 0 = none.
+    nof_harq_ack_bits: int = 0
+
+
+@dataclass(frozen=True)
+class PucchPdu:
+    format: int  # 0, 1 or 2
+    rnti: int
+    prb_start: int
+    nof_prb: int
+    start_symbol: int
+    nof_symbols: int
+    initial_cyclic_shift: int = 0
+    time_domain_occ: int = 0
+    nof_harq_bits: int = 0
+    nof_uci_bits: int = 0
+    sr_opportunity: bool = False
+    n_id: int = 0
+    n_id0: int = 0
+
+
+@dataclass(frozen=True)
+class PrachPdu:
+    format_is_long: bool = True
+    root_sequence_index: int = 0
+    zero_correlation_zone: int = 0
+    restricted_set: int = 0
+    nof_preamble_indices: int = 64
+
+
+@dataclass(frozen=True)
+class DlTtiRequest:
+    slot: int
+    ssb: tuple[SsbPdu, ...] = ()
+    pdcch: tuple[PdcchPdu, ...] = ()
+    pdsch: tuple[PdschPdu, ...] = ()
+
+
+@dataclass(frozen=True)
+class UlTtiRequest:
+    slot: int
+    pusch: tuple[PuschPdu, ...] = ()
+    pucch: tuple[PucchPdu, ...] = ()
+    prach: tuple[PrachPdu, ...] = ()
+
+
+@dataclass
+class TxDataRequest:
+    """Transport blocks for the slot's PDSCH PDUs, in PDU order (bit arrays)."""
+
+    slot: int
+    tb_bits: list[np.ndarray] = field(default_factory=list)
+
+
+@dataclass
+class CrcIndication:
+    slot: int
+    rnti: int
+    harq_id: int
+    tb_crc_ok: bool
+
+
+@dataclass
+class RxDataIndication:
+    slot: int
+    rnti: int
+    harq_id: int
+    tb_bits: np.ndarray | None
+
+
+@dataclass
+class UciIndication:
+    slot: int
+    rnti: int
+    harq_bits: np.ndarray
+    uci_bits: np.ndarray | None
+    valid: bool
+    sr_detected: bool = False
+
+
+@dataclass
+class RachIndication:
+    slot: int
+    preambles: list[tuple[int, float, float]]  # (index, ta_samples, metric)

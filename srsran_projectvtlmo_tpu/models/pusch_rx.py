@@ -1,7 +1,7 @@
 """PUSCH receive slot model: the Phase-2 flagship end-to-end uplink program.
 
 One jitted program per static configuration covering the UL shared channel for
-a slot: OFDM demodulation -> DM-RS channel estimation -> MMSE equalization ->
+a slot: (OFDM demodulation) -> DM-RS channel estimation -> MMSE equalization ->
 soft demapping -> descrambling -> rate recovery (+HARQ combining) -> layered
 min-sum LDPC decoding -> CRC checks.
 
@@ -18,15 +18,13 @@ pusch_processor_impl.cpp:311-312): DM-RS type 1, 2 CDM groups without data
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ran.ldpc_params import BaseGraph
-from ..ran.modulation import Modulation, bits_per_symbol
-from ..ran.sch import SchSegmentation, sch_segmentation_info, tbs_calculator
+from ..ran.modulation import bits_per_symbol
 from ..ops import prg as prg_mod
 from ..ops import ofdm as ofdm_mod
 from ..ops.crc import crc_check_device
@@ -36,74 +34,25 @@ from ..ops.equalization import equalize_mmse_1xn
 from ..ops.demodulation import soft_demap
 from ..ops.ldpc import rate_matching as rm
 from ..ops.ldpc.decode import ldpc_decode
+from .sch_config import SchChainConfig
 
 
 @dataclass(frozen=True)
-class PuschRxConfig:
-    nof_rb: int
-    modulation: Modulation
-    target_code_rate: float
+class PuschRxConfig(SchChainConfig):
     nof_rx_ports: int = 1
-    nof_layers: int = 1
-    nof_ofdm_symbols: int = 14
-    dmrs_symbols: tuple[int, ...] = (2,)
     dft_size: int = 4096
     numerology: int = 1
     slot: int = 0
-    rv: int = 0
-    rnti: int = 0x4601
-    n_id: int = 1
     nof_ldpc_iterations: int = 6
-
-    @property
-    def nof_subc(self) -> int:
-        return self.nof_rb * 12
-
-    @property
-    def data_symbols(self) -> tuple[int, ...]:
-        return tuple(s for s in range(self.nof_ofdm_symbols) if s not in self.dmrs_symbols)
-
-    @property
-    def nof_data_re(self) -> int:
-        return self.nof_subc * len(self.data_symbols)
-
-    @functools.cached_property
-    def tbs(self) -> int:
-        nof_re = min(156, 12 * len(self.data_symbols)) * self.nof_rb
-        return tbs_calculator(
-            nof_re=nof_re,
-            target_code_rate=self.target_code_rate,
-            modulation_bits=bits_per_symbol(self.modulation),
-            nof_layers=self.nof_layers,
-        )
-
-    @functools.cached_property
-    def segmentation(self) -> SchSegmentation:
-        return sch_segmentation_info(self.tbs, self.target_code_rate)
-
-    @property
-    def nof_codeword_bits(self) -> int:
-        return self.nof_data_re * bits_per_symbol(self.modulation) * self.nof_layers
-
-    def cb_rate_match_sizes(self) -> list[int]:
-        g = self.nof_codeword_bits
-        c = self.segmentation.nof_cb
-        nl, qm = self.nof_layers, bits_per_symbol(self.modulation)
-        es = []
-        for j in range(c):
-            if j <= c - (g // (nl * qm) % c) - 1:
-                es.append(nl * qm * (g // (nl * qm * c)))
-            else:
-                es.append(nl * qm * (-(-g // (nl * qm * c))))
-        return es
-
-    def scrambling_cinit(self) -> int:
-        return ((self.rnti << 15) + self.n_id) & 0x7FFFFFFF
+    #: Use the Pallas TPU kernel for the LDPC decoder (bit-exact vs the XLA
+    #: path; substantially faster on real hardware).
+    use_pallas_decoder: bool = False
 
 
-def build_pusch_rx_slot(cfg: PuschRxConfig):
-    """Returns a jitted fn: samples (B, nports, nsamples, 2) ->
-    dict(tb_crc_ok (B,), cb_crc_ok (B, C), tb_bits (B, TBS), snr_db (B,), ta_s (B,)).
+def build_pusch_rx_from_grid(cfg: PuschRxConfig):
+    """Jitted fn: grid (B, P, nsym, nsubc_alloc, 2)[, harq_buffer] -> result dict.
+
+    The grid covers exactly the PUSCH allocation (nof_rb RBs, all its symbols).
     """
     seg = cfg.segmentation
     qm = bits_per_symbol(cfg.modulation)
@@ -113,8 +62,10 @@ def build_pusch_rx_slot(cfg: PuschRxConfig):
     offsets = np.concatenate([[0], np.cumsum(es)]).astype(int)
 
     ref = np.stack([
-        dmrs_type1_sequence(cfg.slot, s, cfg.n_id, cfg.nof_rb) for s in cfg.dmrs_symbols
-    ])  # (ndmrs, npil) complex64
+        dmrs_type1_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id, cfg.nof_rb,
+                            prb_start=cfg.rb_start)
+        for s in cfg.dmrs_symbols
+    ])
     ref_pair = np.stack([ref.real, ref.imag], axis=-1).astype(np.float32)
     pil_subc = (2 * np.arange(6 * cfg.nof_rb)).astype(np.int32)
     descr_signs = 1 - 2 * prg_mod.gold_sequence_bits(
@@ -123,15 +74,9 @@ def build_pusch_rx_slot(cfg: PuschRxConfig):
 
     data_syms = np.asarray(cfg.data_symbols, dtype=np.int32)
     dmrs_syms = np.asarray(cfg.dmrs_symbols, dtype=np.int32)
-    # DM-RS EPRE vs data scaling: 2 CDM groups -> -3 dB data/DM-RS ratio handled
-    # as unit for v1 (both transmitted at equal power in the Tx model).
 
     @jax.jit
-    def rx(samples_pair, harq_buffer=None):
-        grid = ofdm_mod.ofdm_demodulate(
-            samples_pair, cfg.nof_subc, cfg.dft_size, cfg.numerology, cfg.slot % (1 << cfg.numerology)
-        )  # (B, P, 14, nsubc, 2)
-
+    def rx(grid, harq_buffer=None):
         rx_pilots = grid[:, :, dmrs_syms][:, :, :, pil_subc, :]  # (B, P, ndmrs, npil, 2)
         est = jax.vmap(
             lambda g: estimate_channel_hop(g, jnp.asarray(ref_pair), cfg.nof_rb, 2),
@@ -146,7 +91,7 @@ def build_pusch_rx_slot(cfg: PuschRxConfig):
         nre = cfg.nof_data_re
         y = jnp.transpose(data, (0, 2, 3, 1, 4)).reshape(b, nre, cfg.nof_rx_ports, 2)
         h = jnp.broadcast_to(
-            jnp.transpose(ce, (1, 0, 2, 3))[:, None, :, :, :],  # (B, 1, P, nsubc, 2)
+            jnp.transpose(ce, (1, 0, 2, 3))[:, None, :, :, :],
             (b, len(data_syms), cfg.nof_rx_ports, cfg.nof_subc, 2),
         )
         h = jnp.transpose(h, (0, 1, 3, 2, 4)).reshape(b, nre, cfg.nof_rx_ports, 2)
@@ -158,7 +103,6 @@ def build_pusch_rx_slot(cfg: PuschRxConfig):
         llr = (llr.astype(jnp.int32) * jnp.asarray(descr_signs)[None, :])
         llr = jnp.clip(llr, -127, 127).astype(jnp.int8)
 
-        # Per-CB rate recovery into the (B, C, N) soft buffer.
         bufs = []
         for j in range(c):
             cb_llr = llr[:, offsets[j]:offsets[j + 1]]
@@ -170,10 +114,16 @@ def build_pusch_rx_slot(cfg: PuschRxConfig):
         if harq_buffer is not None:
             soft = rm.harq_combine(harq_buffer, soft)
 
-        hard, _ = ldpc_decode(
-            soft.reshape(b * c, -1), seg.base_graph, z,
-            nof_iterations=cfg.nof_ldpc_iterations,
-        )
+        if cfg.use_pallas_decoder:
+            from .decode_select import decode_fn
+
+            hard, _ = decode_fn(True)(soft.reshape(b * c, -1), seg.base_graph, z,
+                                      cfg.nof_ldpc_iterations)
+        else:
+            hard, _ = ldpc_decode(
+                soft.reshape(b * c, -1), seg.base_graph, z,
+                nof_iterations=cfg.nof_ldpc_iterations,
+            )
         hard = hard.reshape(b, c, -1)
 
         kp = seg.nof_payload_bits_per_cb
@@ -188,7 +138,6 @@ def build_pusch_rx_slot(cfg: PuschRxConfig):
         crc_name = "CRC24A" if seg.tb_crc_bits == 24 else "CRC16"
         tb_ok = crc_check_device(tb_and_crc, crc_name)
 
-        # Post-equalization SNR in dB (channel state information).
         snr = jnp.mean(1.0 / jnp.maximum(eq_nvar, 1e-9), axis=-1)
         snr_db = 10.0 * jnp.log10(jnp.maximum(snr, 1e-9))
 
@@ -204,6 +153,30 @@ def build_pusch_rx_slot(cfg: PuschRxConfig):
     return rx
 
 
+def build_pusch_rx_slot(cfg: PuschRxConfig):
+    """Jitted fn: samples (B, nports, nsamples, 2) -> result dict (demod included).
+
+    Convenience wrapper for loopback tests where the allocation spans the
+    whole (small) carrier.
+    """
+    from_grid = build_pusch_rx_from_grid(cfg)
+
+    @jax.jit
+    def rx(samples_pair, harq_buffer=None):
+        grid = ofdm_mod.ofdm_demodulate(
+            samples_pair, cfg.nof_subc, cfg.dft_size, cfg.numerology,
+            cfg.slot % (1 << cfg.numerology),
+        )
+        return from_grid(grid, harq_buffer)
+
+    return rx
+
+
 @functools.lru_cache(maxsize=None)
 def cached_pusch_rx(cfg: PuschRxConfig):
     return build_pusch_rx_slot(cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def cached_pusch_rx_from_grid(cfg: PuschRxConfig):
+    return build_pusch_rx_from_grid(cfg)

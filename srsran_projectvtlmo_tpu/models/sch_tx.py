@@ -1,0 +1,57 @@
+"""Shared SCH transmit codeword chain: segmentation + CRCs + LDPC encode +
+rate match + scrambling + modulation, as one jitted program per config.
+
+Used by both the PDSCH transmitter and the UL-SCH (UE emulator) transmitter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ran.modulation import bits_per_symbol
+from ..ops import prg as prg_mod
+from ..ops.crc import crc_device
+from ..ops.ldpc.encode import ldpc_encode
+from ..ops.ldpc import rate_matching as rm
+from ..ops.modulation import modulate
+from .sch_config import SchChainConfig
+
+
+@functools.lru_cache(maxsize=None)
+def build_sch_symbols_tx(cfg: SchChainConfig):
+    """Returns jitted fn: tb_bits (B, TBS) -> data symbols (B, nof_data_re*L) complex."""
+    seg = cfg.segmentation
+    qm = bits_per_symbol(cfg.modulation)
+    es = cfg.cb_rate_match_sizes()
+    c, z, k = seg.nof_cb, seg.lifting_size, seg.nof_bits_per_cb
+    kp = seg.nof_payload_bits_per_cb
+    payload = kp - seg.cb_crc_bits
+    plans = [
+        rm.rate_match_plan(seg.base_graph, z, seg.nof_filler_bits_per_cb, cfg.rv, e, qm)
+        for e in es
+    ]
+    scramble = prg_mod.gold_sequence_bits(cfg.scrambling_cinit(), cfg.nof_codeword_bits)
+    tb_crc_name = "CRC24A" if seg.tb_crc_bits == 24 else "CRC16"
+
+    @jax.jit
+    def tx(tb_bits):
+        b = tb_bits.shape[0]
+        tb_crc = crc_device(tb_bits, tb_crc_name)
+        full = jnp.concatenate([tb_bits, tb_crc], axis=-1)
+        pad = c * payload - full.shape[-1]
+        full = jnp.concatenate([full, jnp.zeros((b, pad), jnp.uint8)], axis=-1)
+        cbs = full.reshape(b, c, payload)
+        if seg.cb_crc_bits:
+            cbs = jnp.concatenate([cbs, crc_device(cbs, "CRC24B")], axis=-1)
+        cbs = jnp.concatenate([cbs, jnp.zeros((b, c, k - kp), jnp.uint8)], axis=-1)
+
+        cw = ldpc_encode(cbs.reshape(b * c, k), seg.base_graph, z)
+        cw = cw.reshape(b, c, -1)[:, :, 2 * z:]
+        parts = [jnp.take(cw[:, j], jnp.asarray(plans[j]), axis=-1) for j in range(c)]
+        codeword = jnp.concatenate(parts, axis=-1) ^ jnp.asarray(scramble)[None, :]
+        return modulate(codeword, cfg.modulation)
+
+    return tx

@@ -1,0 +1,190 @@
+"""Pallas TPU kernel for the layered scaled min-sum LDPC decoder.
+
+Same arithmetic as ops/ldpc/decode.py (bit-exact: LLR saturation at +/-120,
++/-127 fixed-bit promotion, running-min init at LLR_MAX, 0.8 scaling with
+round-half-away), but engineered for the TPU memory hierarchy:
+
+ * the whole codeblock state lives in VMEM across all iterations: soft bits
+   (NV, B_tile, Z) and a *compressed* check-to-variable state per layer
+   (scaled min1/min2, argmin edge, per-edge sign bitmask, sign product) --
+   the reference's AVX512 decoder stores raw c2v messages per edge
+   (reference: lib/phy/upper/channel_coding/ldpc/ldpc_decoder_avx512.cpp:72-78);
+   the compressed form is ~6x smaller and reconstructs c2v in registers;
+ * the graph is static per (BG, Z): the layer/edge structure is fully unrolled
+   at trace time and every cyclic rotation is a static-lane pltpu.roll --
+   no gathers, no scatters, no dynamic indexing anywhere;
+ * codeblocks batch on the sublane axis; the grid walks batch tiles.
+
+Lifting size Z rides the lane axis (Z <= 384 = 3 vregs of 128 lanes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...ran.ldpc_params import BaseGraph
+from ...utils.llr import LLR_MAX, LLR_INFTY
+from .graphs import get_graph
+
+DEFAULT_B_TILE = 8
+
+
+def _sat_sub(a, b):
+    """LLR saturated difference (int32 in/out), reference semantics."""
+    plain = jnp.clip(a - b, -LLR_MAX, LLR_MAX)
+    out = jnp.where(jnp.abs(a) == LLR_INFTY, a, jnp.where(jnp.abs(b) == LLR_INFTY, -b, plain))
+    return jnp.where(a == b, 0, out)
+
+
+def _promotion_sum(a, b):
+    s = a + b
+    plain = jnp.where(jnp.abs(s) > LLR_MAX, jnp.sign(s) * LLR_INFTY, s)
+    out = jnp.where(jnp.abs(a) == LLR_INFTY, a, jnp.where(jnp.abs(b) == LLR_INFTY, b, plain))
+    return jnp.where(a == -b, 0, out)
+
+
+def _scale(mag, scaling_factor: float):
+    """round-half-away(mag * sf) for nonnegative mags (reference scale_llr)."""
+    return jnp.floor(mag.astype(jnp.float32) * jnp.float32(scaling_factor) + 0.5).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _row_edges(bg: BaseGraph, z: int):
+    g = get_graph(bg, z)
+    rows = []
+    for r in range(g.m):
+        cols = np.flatnonzero(g.shifts[r] >= 0)
+        rows.append([(int(c), int(g.shifts[r, c])) for c in cols])
+    return g, rows
+
+
+def _make_kernel(bg: BaseGraph, z: int, nof_iterations: int, scaling_factor: float,
+                 b_tile: int):
+    g, rows = _row_edges(bg, z)
+    nv, m = g.n_full, g.m
+
+    def kernel(llr_ref, out_ref, soft, min1, min2, amin, signs, sprod):
+        # Initialize: soft = [0, 0, llr blocks...]; c2v state zeroed.
+        soft[0] = jnp.zeros((b_tile, z), jnp.int32)
+        soft[1] = jnp.zeros((b_tile, z), jnp.int32)
+        for c in range(2, nv):
+            soft[c] = llr_ref[c - 2].astype(jnp.int32)
+        min1[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        min2[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        amin[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        signs[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        sprod[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+
+        def iteration(_, carry):
+            for r, edges in enumerate(rows):
+                old_m1 = min1[r]
+                old_m2 = min2[r]
+                old_am = amin[r]
+                old_sb = signs[r]
+                old_sp = sprod[r]
+
+                # Pass 1: v2c per edge + running min/second-min/argmin/signs.
+                v2cs = []
+                new_m1 = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
+                new_m2 = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
+                new_am = jnp.zeros((b_tile, z), jnp.int32)
+                new_sp = jnp.zeros((b_tile, z), jnp.int32)
+                new_sb = jnp.zeros((b_tile, z), jnp.int32)
+                for e, (c, s) in enumerate(edges):
+                    soft_chk = pltpu.roll(soft[c], (z - s) % z, axis=1)
+                    old_sign_e = jnp.bitwise_and(old_sb >> e, 1)
+                    old_mag = jnp.where(old_am == e, old_m2, old_m1)
+                    c2v_old = jnp.where((old_sp ^ old_sign_e) == 1, -old_mag, old_mag)
+                    v2c = _sat_sub(soft_chk, c2v_old)
+                    v2cs.append(v2c)
+
+                    absv = jnp.abs(v2c)
+                    sign = (v2c < 0).astype(jnp.int32)
+                    is_min = absv < new_m1
+                    new_m2 = jnp.where(is_min, new_m1, jnp.minimum(new_m2, absv))
+                    new_am = jnp.where(is_min, e, new_am)
+                    new_m1 = jnp.where(is_min, absv, new_m1)
+                    new_sp = new_sp ^ sign
+                    new_sb = new_sb | (sign << e)
+
+                s_m1 = _scale(new_m1, scaling_factor)
+                s_m2 = _scale(new_m2, scaling_factor)
+
+                # Pass 2: c2v update + soft-bit update (rotate back to var domain).
+                for e, (c, s) in enumerate(edges):
+                    v2c = v2cs[e]
+                    sign_e = jnp.bitwise_and(new_sb >> e, 1)
+                    mag = jnp.where(new_am == e, s_m2, s_m1)
+                    c2v = jnp.where((new_sp ^ sign_e) == 1, -mag, mag)
+                    soft_new = _promotion_sum(c2v, v2c)
+                    soft[c] = pltpu.roll(soft_new, s, axis=1)
+
+                min1[r] = s_m1
+                min2[r] = s_m2
+                amin[r] = new_am
+                signs[r] = new_sb
+                sprod[r] = new_sp
+            return carry
+
+        jax.lax.fori_loop(0, nof_iterations, iteration, 0)
+
+        for c in range(g.kb):
+            out_ref[c] = jnp.clip(soft[c], -LLR_INFTY, LLR_INFTY).astype(jnp.int8)
+
+    return kernel, g
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def ldpc_decode_pallas(
+    llrs,
+    bg: BaseGraph,
+    z: int,
+    nof_iterations: int = 6,
+    scaling_factor: float = 0.8,
+    b_tile: int = DEFAULT_B_TILE,
+):
+    """Pallas decoder. llrs (B, N) int8, N = (n_full-2)*z; filler bits = +127.
+
+    Returns (hard (B, K) uint8, soft_info (B, K) int8), identical to
+    ops.ldpc.decode.ldpc_decode.
+    """
+    kernel, g = _make_kernel(bg, z, nof_iterations, float(scaling_factor), b_tile)
+    b = llrs.shape[0]
+    pad = (-b) % b_tile
+    if pad:
+        llrs = jnp.concatenate([llrs, jnp.zeros((pad, llrs.shape[1]), llrs.dtype)], 0)
+    bp = llrs.shape[0]
+    # (B, N) -> (NV-2, B, Z)
+    x = jnp.transpose(llrs.reshape(bp, g.n_full - 2, z), (1, 0, 2))
+
+    # Interpreter mode off-TPU (CPU tests); compiled Mosaic on real hardware.
+    dev = jax.devices()[0]
+    interpret = not (dev.platform == "tpu" or "TPU" in str(dev))
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // b_tile,),
+        in_specs=[pl.BlockSpec((g.n_full - 2, b_tile, z), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((g.kb, b_tile, z), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g.kb, bp, z), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((g.n_full, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x)
+    # (KB, B, Z) -> (B, K)
+    soft_info = jnp.transpose(out, (1, 0, 2)).reshape(bp, g.kb * z)[:b]
+    hard = (soft_info <= 0).astype(jnp.uint8)
+    return hard, soft_info

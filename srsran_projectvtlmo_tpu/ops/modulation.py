@@ -43,6 +43,20 @@ def constellation(mod: Modulation) -> np.ndarray:
     return pts.astype(np.complex64)
 
 
+def modulate_np(bits: np.ndarray, mod: Modulation) -> np.ndarray:
+    """Host-side numpy mapper (for slot-prep paths that stay off-device;
+    eager complex device ops are not supported by the target runtime)."""
+    qm = bits_per_symbol(mod)
+    table = constellation(mod)
+    groups = np.asarray(bits, dtype=np.int64).reshape(-1, qm)
+    weights = np.asarray([1 << (qm - 1 - i) for i in range(qm)])
+    sym = table[(groups * weights).sum(-1)]
+    if mod == Modulation.PI_2_BPSK:
+        rot = np.where(np.arange(len(sym)) % 2 == 1, 1j, 1.0)
+        sym = (sym * rot).astype(np.complex64)
+    return sym
+
+
 def modulate(bits, mod: Modulation):
     """bits (..., nsym * Qm) uint8 -> complex64 symbols (..., nsym).
 

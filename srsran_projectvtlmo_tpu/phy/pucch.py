@@ -1,0 +1,228 @@
+"""PUCCH processors: formats 0, 1 and 2 (TS 38.211 Section 6.3.2).
+
+Format 0: sequence-selection detection -- correlate the received PRB against
+the candidate cyclic shifts of the base sequence (one matmul over shifts).
+Format 1: OCC-despread coherent detection with DM-RS channel estimation.
+Format 2: QPSK demodulation + descrambling + UCI decode (short block / polar),
+with DM-RS on subcarriers {1, 4, 7, 10} of each RB.
+reference: lib/phy/upper/channel_processors/pucch_processor_impl.cpp:30-186,
+pucch_detector_impl.cpp, pucch_demodulator_impl.cpp.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import prg as prg_mod
+from ..ops.low_papr import low_papr_sequence, pucch_group_sequence
+from ..ops import uci as uci_mod
+from ..ops.demodulation import soft_demap
+from ..ran.modulation import Modulation
+from ..utils.cplx import to_cplx
+
+NRE = 12
+
+
+def _cyclic_shift_hopping(n_id: int, slot: int, symbol: int) -> int:
+    """n_cs(n_s, l) from the Gold sequence with c_init = n_id (Section 6.3.2.2.2)."""
+    offset = 8 * (14 * slot + symbol)
+    bits = prg_mod.gold_sequence_bits(n_id, offset + 8)[offset:offset + 8]
+    return int((bits * (1 << np.arange(8))).sum())
+
+
+@functools.lru_cache(maxsize=None)
+def _f0_candidates(n_id: int, slot: int, start_symbol: int, nof_symbols: int, m0: int):
+    """(12, nof_symbols, 12) complex: candidate sequences per cyclic shift."""
+    u, v = pucch_group_sequence(n_id)
+    cands = np.empty((12, nof_symbols, NRE), np.complex64)
+    for mcs in range(12):
+        for s in range(nof_symbols):
+            ncs = _cyclic_shift_hopping(n_id, slot, start_symbol + s)
+            alpha = 2 * np.pi * ((m0 + mcs + ncs) % NRE) / NRE
+            cands[mcs, s] = low_papr_sequence(u, v, alpha, NRE)
+    return cands
+
+
+@dataclass(frozen=True)
+class PucchFormat0Config:
+    n_id: int
+    slot: int
+    start_symbol: int
+    nof_symbols: int  # 1 or 2
+    initial_cyclic_shift: int  # m0
+    nof_harq_bits: int  # 0, 1 or 2
+    sr_opportunity: bool = False
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def detect_pucch_format0(rx_prb_pair, cfg: PucchFormat0Config):
+    """Detect format 0 on (B, nof_symbols, 12, 2) received REs.
+
+    Returns (harq_bits (B, nof_harq) uint8, detection_metric (B,), sr (B,) bool).
+    """
+    cands = _f0_candidates(cfg.n_id, cfg.slot, cfg.start_symbol, cfg.nof_symbols,
+                           cfg.initial_cyclic_shift)
+    y = to_cplx(rx_prb_pair)  # (B, S, 12)
+    c = jnp.asarray(cands)  # (12, S, 12)
+    corr = jnp.abs(jnp.einsum("bsn,msn->bm", y, jnp.conj(c))) ** 2  # (B, 12)
+    energy = jnp.sum(jnp.abs(y) ** 2, axis=(-1, -2)) * (cfg.nof_symbols * NRE)
+    metric = corr / jnp.maximum(energy[:, None], 1e-12)
+
+    if cfg.nof_harq_bits == 1:
+        mcs_map = [0, 6]
+    elif cfg.nof_harq_bits == 2:
+        mcs_map = [0, 3, 6, 9]
+    else:
+        mcs_map = [0]
+    sel = jnp.asarray(mcs_map)
+    cand_metric = metric[:, sel]
+    best = jnp.argmax(cand_metric, axis=-1)
+    det = jnp.take_along_axis(cand_metric, best[:, None], axis=-1)[:, 0]
+    if cfg.nof_harq_bits == 2:
+        # Gray: index -> (b0, b1): 0->00, 1->01, 2->11, 3->10
+        b0 = ((best == 2) | (best == 3)).astype(jnp.uint8)
+        b1 = ((best == 1) | (best == 2)).astype(jnp.uint8)
+        bits = jnp.stack([b0, b1], -1)
+    elif cfg.nof_harq_bits == 1:
+        bits = best[:, None].astype(jnp.uint8)
+    else:
+        bits = jnp.zeros(y.shape[:1] + (0,), jnp.uint8)
+    sr = det > 0.5
+    return bits, det, sr
+
+
+@dataclass(frozen=True)
+class PucchFormat1Config:
+    n_id: int
+    slot: int
+    start_symbol: int
+    nof_symbols: int  # 4..14
+    initial_cyclic_shift: int
+    time_domain_occ: int
+    nof_harq_bits: int  # 1 or 2
+
+
+@functools.lru_cache(maxsize=None)
+def _f1_tables(cfg: PucchFormat1Config):
+    u, v = pucch_group_sequence(cfg.n_id)
+    n_data = cfg.nof_symbols // 2
+    n_dmrs = cfg.nof_symbols - n_data
+    # DM-RS on even relative symbols, data on odd (Section 6.3.2.4.2/6.4.1.3.1).
+    seqs = []
+    for s in range(cfg.nof_symbols):
+        ncs = _cyclic_shift_hopping(cfg.n_id, cfg.slot, cfg.start_symbol + s)
+        alpha = 2 * np.pi * ((cfg.initial_cyclic_shift + ncs) % NRE) / NRE
+        seqs.append(low_papr_sequence(u, v, alpha, NRE))
+    seqs = np.stack(seqs)  # (S, 12)
+    # OCC w_i(m) = exp(2 pi j i m / N) (DFT codes).
+    i = cfg.time_domain_occ
+    w_data = np.exp(2j * np.pi * i * np.arange(n_data) / n_data).astype(np.complex64)
+    w_dmrs = np.exp(2j * np.pi * i * np.arange(n_dmrs) / n_dmrs).astype(np.complex64)
+    return seqs, w_data, w_dmrs
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def detect_pucch_format1(rx_prb_pair, cfg: PucchFormat1Config):
+    """Detect format 1 on (B, nof_symbols, 12, 2) received REs.
+
+    Returns (harq_bits (B, nof_harq) uint8, metric (B,)).
+    """
+    seqs, w_data, w_dmrs = _f1_tables(cfg)
+    y = to_cplx(rx_prb_pair)  # (B, S, 12)
+    r = jnp.asarray(seqs)
+    # Despread the base sequence from every symbol.
+    z = jnp.sum(y * jnp.conj(r)[None], axis=-1) / NRE  # (B, S)
+    dmrs = z[:, 0::2]  # even symbols: DM-RS
+    data = z[:, 1::2]
+    # OCC despread.
+    h = jnp.sum(dmrs * jnp.conj(jnp.asarray(w_dmrs))[None], axis=-1) / len(w_dmrs)  # (B,)
+    d = jnp.sum(data * jnp.conj(jnp.asarray(w_data))[None], axis=-1) / len(w_data)
+    # Coherent demodulation: d_hat = d * conj(h).
+    x = d * jnp.conj(h)
+    metric = jnp.abs(x) / (jnp.abs(h) * jnp.abs(d) + 1e-12)
+    if cfg.nof_harq_bits == 1:
+        bits = (jnp.real(x) <= 0).astype(jnp.uint8)[:, None]
+    else:
+        bits = jnp.stack([
+            (jnp.real(x) <= 0).astype(jnp.uint8),
+            (jnp.imag(x) <= 0).astype(jnp.uint8),
+        ], -1)
+    return bits, jnp.abs(h)
+
+
+@dataclass(frozen=True)
+class PucchFormat2Config:
+    n_id: int         # scrambling (data)
+    n_id0: int        # DM-RS scrambling
+    rnti: int
+    slot: int
+    start_symbol: int
+    nof_symbols: int  # 1 or 2
+    nof_prb: int
+    nof_uci_bits: int
+
+
+def _f2_data_subc(nof_prb: int) -> np.ndarray:
+    base = np.asarray([0, 2, 3, 5, 6, 8, 9, 11])
+    return (np.arange(nof_prb)[:, None] * 12 + base[None, :]).reshape(-1)
+
+
+def _f2_dmrs_subc(nof_prb: int) -> np.ndarray:
+    base = np.asarray([1, 4, 7, 10])
+    return (np.arange(nof_prb)[:, None] * 12 + base[None, :]).reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _f2_dmrs_ref(cfg: PucchFormat2Config) -> np.ndarray:
+    """(S, 4*nof_prb) complex64 DM-RS pilots (Section 6.4.1.3.2)."""
+    out = []
+    for s in range(cfg.nof_symbols):
+        sym = cfg.start_symbol + s
+        cinit = ((1 << 17) * (14 * cfg.slot + sym + 1) * (2 * cfg.n_id0 + 1) + 2 * cfg.n_id0) % (1 << 31)
+        npil = 4 * cfg.nof_prb
+        bits = prg_mod.gold_sequence_bits(cinit, 2 * npil).astype(np.float32)
+        vals = (1 - 2 * bits) / np.sqrt(2)
+        out.append(vals[0::2] + 1j * vals[1::2])
+    return np.stack(out).astype(np.complex64)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def process_pucch_format2(rx_prbs_pair, cfg: PucchFormat2Config):
+    """Demodulate+decode format 2 on (B, nof_symbols, 12*nof_prb, 2) REs.
+
+    Returns (uci_bits (B, K) uint8, valid (B,)).
+    """
+    y = to_cplx(rx_prbs_pair)  # (B, S, 12*PRB)
+    data_idx = jnp.asarray(_f2_data_subc(cfg.nof_prb))
+    dmrs_idx = jnp.asarray(_f2_dmrs_subc(cfg.nof_prb))
+    ref = jnp.asarray(_f2_dmrs_ref(cfg))  # (S, 4*PRB)
+
+    pilots = y[:, :, dmrs_idx]
+    lse = pilots * jnp.conj(ref)[None] / (jnp.abs(ref) ** 2)[None]  # (B, S, 4*PRB)
+    # Channel estimate per RB (average its 4 pilots), broadcast to the 8 data REs.
+    lse_rb = lse.reshape(lse.shape[:-1] + (cfg.nof_prb, 4)).mean(-1)  # (B, S, PRB)
+    h_data = jnp.repeat(lse_rb, 8, axis=-1)  # matches data_idx ordering
+
+    noise = jnp.mean(jnp.abs(pilots - jnp.repeat(lse_rb, 4, -1) * ref[None]) ** 2,
+                     axis=(-1, -2))  # (B,)
+    d = y[:, :, data_idx]
+    h_sq = jnp.maximum(jnp.abs(h_data) ** 2, 1e-12)
+    eq = d * jnp.conj(h_data) / h_sq
+    eq_nvar = jnp.maximum(noise, 1e-9)[:, None, None] / h_sq  # (B, S, 8*PRB)
+
+    eq_flat = eq.reshape(eq.shape[0], -1)
+    pair = jnp.stack([jnp.real(eq_flat), jnp.imag(eq_flat)], -1)
+    nv = eq_nvar.reshape(eq.shape[0], -1)
+    llr = soft_demap(pair, nv, Modulation.QPSK)  # (B, E)
+
+    cinit = ((cfg.rnti << 15) + cfg.n_id) & 0x7FFFFFFF
+    e = llr.shape[-1]
+    signs = 1 - 2 * prg_mod.gold_sequence_bits(cinit, e).astype(np.int32)
+    llr = jnp.clip(llr.astype(jnp.int32) * jnp.asarray(signs)[None], -127, 127).astype(jnp.int8)
+
+    return uci_mod.uci_decode(llr, cfg.nof_uci_bits, bits_per_symbol=2)

@@ -62,22 +62,37 @@ class TestDecoder:
         np.testing.assert_array_equal(np.asarray(hard), info)
 
     @pytest.mark.parametrize("bg", [BaseGraph.BG1, BaseGraph.BG2])
-    @pytest.mark.parametrize("z", [13, 52])
+    @pytest.mark.parametrize("z", [13, 26])
     def test_bit_exact_vs_golden(self, bg, z):
         """Soft outputs match the golden layered min-sum bit for bit, on noisy input."""
         g = get_graph(bg, z)
         rng = np.random.default_rng(z + 2)
-        info = rng.integers(0, 2, (2, g.k)).astype(np.uint8)
+        info = rng.integers(0, 2, (1, g.k)).astype(np.uint8)
         cw = np.asarray(ldpc_encode(jnp.asarray(info), bg, z))[:, 2 * z:]
         clean = (1 - 2 * cw.astype(np.float64)) * 7
         noisy = clean + rng.normal(0, 4.0, clean.shape)
         llr = np.clip(np.round(noisy), -20, 20).astype(np.int8)
         hard, soft = ldpc_decode(jnp.asarray(llr), bg, z, nof_iterations=4)
-        for i in range(2):
-            g_hard, g_soft = golden_decode(llr[i], bg, z, nof_iterations=4, scaling=0.8)
-            np.testing.assert_array_equal(np.asarray(soft)[i], g_soft,
-                                          err_msg=f"soft mismatch bg={bg} z={z} cb={i}")
-            np.testing.assert_array_equal(np.asarray(hard)[i], g_hard)
+        g_hard, g_soft = golden_decode(llr[0], bg, z, nof_iterations=4, scaling=0.8)
+        np.testing.assert_array_equal(np.asarray(soft)[0], g_soft,
+                                      err_msg=f"soft mismatch bg={bg} z={z}")
+        np.testing.assert_array_equal(np.asarray(hard)[0], g_hard)
+
+    @pytest.mark.parametrize("bg,z", [(BaseGraph.BG1, 13), (BaseGraph.BG2, 16)])
+    def test_pallas_matches_xla(self, bg, z):
+        """The Pallas kernel (interpret mode on CPU) is bit-exact vs the XLA decoder."""
+        from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import ldpc_decode_pallas
+
+        g = get_graph(bg, z)
+        rng = np.random.default_rng(z + 5)
+        info = rng.integers(0, 2, (2, g.k)).astype(np.uint8)
+        cw = np.asarray(ldpc_encode(jnp.asarray(info), bg, z))[:, 2 * z:]
+        noisy = (1 - 2 * cw.astype(np.float64)) * 7 + rng.normal(0, 3.0, cw.shape)
+        llr = np.clip(np.round(noisy), -20, 20).astype(np.int8)
+        h_ref, s_ref = ldpc_decode(jnp.asarray(llr), bg, z, nof_iterations=3)
+        h_pal, s_pal = ldpc_decode_pallas(jnp.asarray(llr), bg, z, 3)
+        np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pal))
+        np.testing.assert_array_equal(np.asarray(h_ref), np.asarray(h_pal))
 
     def test_corrects_noise(self):
         bg, z = BaseGraph.BG1, 52

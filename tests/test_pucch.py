@@ -1,0 +1,96 @@
+"""PUCCH format 0/1/2 processor tests (Tx built per TS 38.211, Rx = framework)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from srsran_projectvtlmo_tpu.phy import pucch
+from srsran_projectvtlmo_tpu.ops.low_papr import low_papr_sequence, pucch_group_sequence
+from srsran_projectvtlmo_tpu.ops import prg as prg_mod
+from srsran_projectvtlmo_tpu.ops import uci as uci_mod
+
+
+def cplx_pair(z):
+    return np.stack([z.real, z.imag], -1).astype(np.float32)
+
+
+class TestFormat0:
+    @pytest.mark.parametrize("bits", [[0], [1], [0, 0], [0, 1], [1, 0], [1, 1]])
+    def test_detects_bits(self, bits):
+        cfg = pucch.PucchFormat0Config(
+            n_id=17, slot=3, start_symbol=12, nof_symbols=2,
+            initial_cyclic_shift=4, nof_harq_bits=len(bits),
+        )
+        mcs = {1: [0, 6], 2: [0, 3, 6, 9]}[len(bits)]
+        if len(bits) == 1:
+            idx = bits[0]
+        else:
+            idx = {(0, 0): 0, (0, 1): 1, (1, 1): 2, (1, 0): 3}[tuple(bits)]
+        u, v = pucch_group_sequence(cfg.n_id)
+        tx = np.empty((cfg.nof_symbols, 12), np.complex64)
+        for s in range(cfg.nof_symbols):
+            ncs = pucch._cyclic_shift_hopping(cfg.n_id, cfg.slot, cfg.start_symbol + s)
+            alpha = 2 * np.pi * ((cfg.initial_cyclic_shift + mcs[idx] + ncs) % 12) / 12
+            tx[s] = low_papr_sequence(u, v, alpha, 12)
+        rng = np.random.default_rng(1)
+        rx = tx * (0.8 + 0.3j) + 0.05 * (rng.normal(size=tx.shape) + 1j * rng.normal(size=tx.shape))
+        got, metric, sr = pucch.detect_pucch_format0(jnp.asarray(cplx_pair(rx)[None]), cfg)
+        np.testing.assert_array_equal(np.asarray(got)[0], bits)
+        assert float(np.asarray(metric)[0]) > 0.5
+
+
+class TestFormat1:
+    @pytest.mark.parametrize("bits,occ", [([0], 0), ([1], 1), ([0, 1], 0), ([1, 0], 2)])
+    def test_detects_bits(self, bits, occ):
+        cfg = pucch.PucchFormat1Config(
+            n_id=30, slot=1, start_symbol=0, nof_symbols=14,
+            initial_cyclic_shift=3, time_domain_occ=occ, nof_harq_bits=len(bits),
+        )
+        seqs, w_data, w_dmrs = pucch._f1_tables(cfg)
+        if len(bits) == 1:
+            d = (1 - 2 * bits[0]) / np.sqrt(2) * (1 + 1j)
+        else:
+            d = ((1 - 2 * bits[0]) + 1j * (1 - 2 * bits[1])) / np.sqrt(2)
+        tx = np.zeros((cfg.nof_symbols, 12), np.complex64)
+        i_data = 0
+        i_dmrs = 0
+        for s in range(cfg.nof_symbols):
+            if s % 2 == 0:
+                tx[s] = w_dmrs[i_dmrs] * seqs[s]
+                i_dmrs += 1
+            else:
+                tx[s] = d * w_data[i_data] * seqs[s]
+                i_data += 1
+        rng = np.random.default_rng(2)
+        h = 0.7 - 0.4j
+        rx = tx * h + 0.05 * (rng.normal(size=tx.shape) + 1j * rng.normal(size=tx.shape))
+        got, metric = pucch.detect_pucch_format1(jnp.asarray(cplx_pair(rx)[None]), cfg)
+        np.testing.assert_array_equal(np.asarray(got)[0], bits)
+
+
+class TestFormat2:
+    @pytest.mark.parametrize("k,prb,nsym", [(4, 1, 1), (7, 2, 2), (24, 4, 2)])
+    def test_roundtrip(self, k, prb, nsym):
+        cfg = pucch.PucchFormat2Config(
+            n_id=9, n_id0=11, rnti=0x1234, slot=2, start_symbol=12 if nsym == 2 else 13,
+            nof_symbols=nsym, nof_prb=prb, nof_uci_bits=k,
+        )
+        rng = np.random.default_rng(k)
+        msg = rng.integers(0, 2, k).astype(np.uint8)
+        e = 16 * prb * nsym  # 8 data REs/PRB * QPSK
+        coded = uci_mod.uci_encode(msg, e, bits_per_symbol=2)
+        cinit = ((cfg.rnti << 15) + cfg.n_id) & 0x7FFFFFFF
+        scr = coded ^ prg_mod.gold_sequence_bits(cinit, e)
+        sym = (1 - 2 * scr[0::2].astype(np.float64)) + 1j * (1 - 2 * scr[1::2].astype(np.float64))
+        sym = (sym / np.sqrt(2)).astype(np.complex64).reshape(nsym, 8 * prb)
+
+        tx = np.zeros((nsym, 12 * prb), np.complex64)
+        tx[:, pucch._f2_data_subc(prb)] = sym
+        tx[:, pucch._f2_dmrs_subc(prb)] = pucch._f2_dmrs_ref(cfg)
+        rng2 = np.random.default_rng(k + 1)
+        h = 0.9 + 0.2j
+        rx = tx * h + 0.03 * (rng2.normal(size=tx.shape) + 1j * rng2.normal(size=tx.shape))
+        bits, ok = pucch.process_pucch_format2(jnp.asarray(cplx_pair(rx)[None]), cfg)
+        assert bool(np.asarray(ok)[0]), f"UCI invalid for K={k}"
+        np.testing.assert_array_equal(np.asarray(bits)[0], msg)

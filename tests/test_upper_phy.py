@@ -1,0 +1,181 @@
+"""Upper-PHY orchestration tests: DL slot assembly, UL slot processing, HARQ pool."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from srsran_projectvtlmo_tpu.fapi.pdus import (
+    DlTtiRequest, UlTtiRequest, TxDataRequest, SsbPdu, PdcchPdu, PdschPdu,
+    PuschPdu, PucchPdu, PrachPdu, UciIndication, CrcIndication, RxDataIndication,
+    RachIndication,
+)
+from srsran_projectvtlmo_tpu.phy.upper_phy import CellConfig, UpperPhy
+from srsran_projectvtlmo_tpu.phy.harq import RxBufferPool
+from srsran_projectvtlmo_tpu.models.pdsch_tx import PdschTxConfig
+from srsran_projectvtlmo_tpu.models.pusch_rx import PuschRxConfig, cached_pusch_rx_from_grid
+from srsran_projectvtlmo_tpu.models.ulsch_tx import build_ulsch_tx_slot
+from srsran_projectvtlmo_tpu.ran.modulation import Modulation
+from srsran_projectvtlmo_tpu.ops import ofdm
+from srsran_projectvtlmo_tpu.utils.cplx import np_to_pair
+
+CELL = CellConfig(nof_rb=52, dft_size=1024, numerology=1, phys_cell_id=101)
+
+
+class TestDlSlot:
+    def test_dl_slot_assembly_and_pdsch_decodable(self):
+        phy = UpperPhy(CELL)
+        pdsch = PdschPdu(rnti=0x4601, rb_start=20, rb_size=12, modulation=Modulation.QAM16,
+                         target_code_rate=0.5, start_symbol=4, nof_symbols=10,
+                         dmrs_symbols=(6,), n_id=7)
+        cfg = PdschTxConfig(nof_rb=12, modulation=Modulation.QAM16, target_code_rate=0.5,
+                            nof_ofdm_symbols=10, dmrs_symbols=(2,), rnti=0x4601, n_id=7,
+                            dft_size=CELL.dft_size, numerology=1, slot=3)
+        rng = np.random.default_rng(0)
+        tb = rng.integers(0, 2, cfg.tbs).astype(np.uint8)
+        req = DlTtiRequest(
+            slot=3,
+            ssb=(SsbPdu(phys_cell_id=101, ssb_block_index=0, sfn=1, half_radio_frame=False),),
+            pdcch=(PdcchPdu(rnti=0x4601, nof_dci_bits=40, aggregation_level=2,
+                            cce_index=0, start_symbol=1, n_id=101, n_rnti=0x4601),),
+            pdsch=(pdsch,),
+        )
+        grid, samples = phy.process_dl_slot(req, TxDataRequest(slot=3, tb_bits=[tb]))
+        assert grid.shape == (14, CELL.nof_subc)
+        assert samples.shape == (ofdm.slot_sample_count(CELL.dft_size, 1, 1), 2)
+
+        # SSB occupies symbols 0..3 at the configured offset.
+        assert np.abs(grid[0, 56:183]).min() > 0.5
+
+        # The PDSCH allocation decodes through the PUSCH-equivalent Rx chain
+        # (same DM-RS + SCH structure) with a clean channel.
+        # DM-RS placed at absolute symbol 6 = relative 2.
+        rx_cfg = PuschRxConfig(
+            nof_rb=12, modulation=Modulation.QAM16, target_code_rate=0.5,
+            nof_ofdm_symbols=10, dmrs_symbols=(2,), rnti=0x4601, n_id=7,
+            start_symbol=4, rb_start=20,
+            nof_rx_ports=1, dft_size=CELL.dft_size, numerology=1, slot=3,
+        )
+        sub = grid[4:14, 20 * 12:32 * 12]
+        pair = np_to_pair(sub)[None, None]
+        out = cached_pusch_rx_from_grid(rx_cfg)(jnp.asarray(pair))
+        assert bool(np.asarray(out["tb_crc_ok"])[0])
+        np.testing.assert_array_equal(np.asarray(out["tb_bits"])[0], tb)
+
+    def test_dmrs_sequence_offset_matches(self):
+        """PDSCH DM-RS with prb_start offset must match what a prb-offset
+        receiver would regenerate (sequence indexed from CRB0)."""
+        phy = UpperPhy(CELL)
+        pdu = PdschPdu(rnti=1, rb_start=10, rb_size=4, modulation=Modulation.QPSK,
+                       target_code_rate=0.3, start_symbol=0, nof_symbols=14,
+                       dmrs_symbols=(2,), n_id=3)
+        grid, _ = phy.process_dl_slot(DlTtiRequest(slot=0, pdsch=(pdu,)), None)
+        from srsran_projectvtlmo_tpu.ops.dmrs import dmrs_type1_sequence
+        ref = dmrs_type1_sequence(0, 2, 3, 4, prb_start=10)
+        got = grid[2, 120:168][0::2]
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+class TestUlSlot:
+    def test_pusch_and_pucch_and_prach(self):
+        phy = UpperPhy(CELL)
+        # Build a PUSCH waveform occupying rb 8..8+16 of the carrier.
+        rx_like = PuschRxConfig(nof_rb=16, modulation=Modulation.QAM16, target_code_rate=0.5,
+                                rnti=0x17, n_id=5, rb_start=8, nof_rx_ports=1,
+                                dft_size=CELL.dft_size, numerology=1, slot=2,
+                                dmrs_symbols=(2,))
+        tx = build_ulsch_tx_slot(rx_like)
+        rng = np.random.default_rng(1)
+        tb = rng.integers(0, 2, rx_like.tbs).astype(np.uint8)
+        alloc_grid_pair, _ = tx(jnp.asarray(tb[None]))
+        alloc_grid = np.asarray(alloc_grid_pair)[0]
+        carrier = np.zeros((14, CELL.nof_subc), np.complex64)
+        carrier[:, 8 * 12:24 * 12] = alloc_grid[..., 0] + 1j * alloc_grid[..., 1]
+
+        # PUCCH F0 at PRB 50, symbols 12-13, bits (1, 0).
+        from srsran_projectvtlmo_tpu.phy import pucch as pucch_mod
+        from srsran_projectvtlmo_tpu.ops.low_papr import low_papr_sequence, pucch_group_sequence
+        u, v = pucch_group_sequence(9)
+        for s in range(2):
+            ncs = pucch_mod._cyclic_shift_hopping(9, 2, 12 + s)
+            alpha = 2 * np.pi * ((3 + 9 + ncs) % 12) / 12  # bits (1,0) -> mcs 9
+            carrier[12 + s, 50 * 12:51 * 12] = low_papr_sequence(u, v, alpha, 12)
+
+        noise = 0.01 * (rng.normal(size=carrier.shape) + 1j * rng.normal(size=carrier.shape))
+        samples = ofdm.ofdm_modulate(jnp.asarray(np_to_pair(carrier + noise)),
+                                     CELL.dft_size, 1, 0)
+        samples = np.asarray(samples)[None]  # 1 rx port
+
+        # PRACH occasion: preamble 11 with no delay.
+        from srsran_projectvtlmo_tpu.ops import prach as prach_mod
+        pcfg = prach_mod.PrachDetectorConfig(sequence_length=839, root_sequence_index=0,
+                                             zero_correlation_zone=11)
+        prach_freq = prach_mod.prach_generate(pcfg, 11)
+        prach_pair = np.stack([prach_freq.real, prach_freq.imag], -1).astype(np.float32)
+
+        req = UlTtiRequest(
+            slot=2,
+            pusch=(PuschPdu(rnti=0x17, rb_start=8, rb_size=16, modulation=Modulation.QAM16,
+                            target_code_rate=0.5, n_id=5, dmrs_symbols=(2,)),),
+            pucch=(PucchPdu(format=0, rnti=0x99, prb_start=50, nof_prb=1, start_symbol=12,
+                            nof_symbols=2, initial_cyclic_shift=3, nof_harq_bits=2, n_id=9),),
+            prach=(PrachPdu(root_sequence_index=0, zero_correlation_zone=11),),
+        )
+        inds = phy.process_ul_slot(req, samples, prach_samples=prach_pair)
+
+        crc = [i for i in inds if isinstance(i, CrcIndication)]
+        rxd = [i for i in inds if isinstance(i, RxDataIndication)]
+        ucis = [i for i in inds if isinstance(i, UciIndication)]
+        rach = [i for i in inds if isinstance(i, RachIndication)]
+        assert crc and crc[0].tb_crc_ok
+        np.testing.assert_array_equal(rxd[0].tb_bits, tb)
+        assert ucis and ucis[0].valid
+        np.testing.assert_array_equal(ucis[0].harq_bits, [1, 0])
+        assert rach and rach[0].preambles
+        assert max(rach[0].preambles, key=lambda d: d[2])[0] == 11
+
+
+class TestHarqPool:
+    def test_reserve_release_expire(self):
+        pool = RxBufferPool(nof_buffers=2, max_codeblocks=2, max_cb_size=128, expiry_slots=10)
+        a = pool.reserve(0, rnti=1, harq_id=0, nof_cb=2, new_data=True)
+        b = pool.reserve(0, rnti=2, harq_id=0, nof_cb=2, new_data=True)
+        assert a is not None and b is not None and a != b
+        assert pool.reserve(0, rnti=3, harq_id=0, nof_cb=2, new_data=True) is None
+        # Same key re-acquires the same buffer.
+        assert pool.reserve(1, rnti=1, harq_id=0, nof_cb=2, new_data=False) == a
+        pool.release(1, 0)
+        assert pool.reserve(2, rnti=3, harq_id=0, nof_cb=2, new_data=True) is not None
+        # Expiry frees rnti=2's buffer.
+        pool.run_slot(100)
+        assert pool.nof_reserved == 0
+
+    def test_soft_combining_gain(self):
+        """Two half-strength noisy copies combine to decode where one fails."""
+        from srsran_projectvtlmo_tpu.ops.ldpc.encode import ldpc_encode
+        from srsran_projectvtlmo_tpu.ops.ldpc.decode import ldpc_decode
+        from srsran_projectvtlmo_tpu.ops.ldpc import rate_matching as rm
+        from srsran_projectvtlmo_tpu.ran.ldpc_params import BaseGraph
+
+        bg, z = BaseGraph.BG1, 52
+        rng = np.random.default_rng(3)
+        info = rng.integers(0, 2, (1, 22 * z)).astype(np.uint8)
+        cw = np.asarray(ldpc_encode(jnp.asarray(info), bg, z))[:, 2 * z:]
+        x = 1 - 2 * cw.astype(np.float64)
+        sigma = 1.0
+        pool = RxBufferPool(nof_buffers=1, max_codeblocks=1, max_cb_size=66 * z)
+
+        def llr_of(seed):
+            y = x + np.random.default_rng(seed).normal(0, sigma, x.shape)
+            return np.clip(np.round(3 * y), -120, 120).astype(np.int8)
+
+        idx = pool.reserve(0, rnti=1, harq_id=0, nof_cb=1, new_data=True)
+        single_fail = 0
+        combined = pool.combined(idx, 1, 66 * z, jnp.asarray(llr_of(10)))
+        hard1, _ = ldpc_decode(jnp.asarray(llr_of(10)), bg, z, nof_iterations=8)
+        combined = pool.combined(idx, 1, 66 * z, jnp.asarray(llr_of(11)))
+        hard2, _ = ldpc_decode(combined, bg, z, nof_iterations=8)
+        e1 = (np.asarray(hard1) != info).sum()
+        e2 = (np.asarray(hard2) != info).sum()
+        assert e2 == 0, f"combined decode failed ({e2} errors)"
+        assert e1 > 0, "single transmission unexpectedly decoded (weak test)"
