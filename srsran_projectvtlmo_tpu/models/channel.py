@@ -71,3 +71,13 @@ class ChannelEmulator:
         noise = (self.rng.normal(size=rx.shape) + 1j * self.rng.normal(size=rx.shape)) / np.sqrt(2)
         rx = rx + self.noise_amp * noise
         return rx.astype(np.complex64), h
+
+    def run_mimo(self, tx_grids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """tx_grids (nlayers, nsym, nsubc) -> (rx (nports, nsym, nsubc),
+        h (nports, nlayers, nsubc)); independent fading per (port, layer)."""
+        nlayers = tx_grids.shape[0]
+        h = np.stack([self.freq_response() for _ in range(nlayers)], axis=1)
+        rx = np.einsum("plk,lsk->psk", h, tx_grids)
+        noise = (self.rng.normal(size=rx.shape) + 1j * self.rng.normal(size=rx.shape)) / np.sqrt(2)
+        rx = rx + self.noise_amp * noise
+        return rx.astype(np.complex64), h

@@ -10,9 +10,10 @@ This replaces the reference's executor-forked PUSCH pipeline
 pusch_decoder_impl.cpp:294-398) with one fused device program; codeblocks and
 UEs batch on leading axes.
 
-Supported v1 envelope (mirrors the reference processor's own constraints,
+Supported envelope (mirrors the reference processor's own constraints,
 pusch_processor_impl.cpp:311-312): DM-RS type 1, 2 CDM groups without data
-(DM-RS symbols carry no PUSCH data), single layer, 1-4 rx ports.
+(DM-RS symbols carry no PUSCH data), 1-2 layers (fd-OCC CDM on the DM-RS),
+1-4 rx ports.
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ from ..ops import ofdm as ofdm_mod
 from ..ops.crc import crc_check_device
 from ..ops.channel_estimate import estimate_channel_hop
 from ..ops.dmrs import dmrs_type1_sequence
-from ..ops.equalization import equalize_mmse_1xn
+from ..ops.equalization import equalize_mmse_1xn, equalize_mmse_general
 from ..ops.demodulation import soft_demap
 from ..ops.ldpc import rate_matching as rm
 from ..ops.ldpc.decode import ldpc_decode
@@ -75,30 +76,74 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     data_syms = np.asarray(cfg.data_symbols, dtype=np.int32)
     dmrs_syms = np.asarray(cfg.dmrs_symbols, dtype=np.int32)
 
+    nlayers = cfg.nof_layers
+
     @jax.jit
     def rx(grid, harq_buffer=None):
         rx_pilots = grid[:, :, dmrs_syms][:, :, :, pil_subc, :]  # (B, P, ndmrs, npil, 2)
-        est = jax.vmap(
-            lambda g: estimate_channel_hop(g, jnp.asarray(ref_pair), cfg.nof_rb, 2),
-            in_axes=1, out_axes=0,
-        )(rx_pilots)
-        ce = est["ce_pair"]  # (P, B, nsubc, 2)
-        noise = est["noise_var"]  # (P, B)
-        ta = est["time_alignment_s"]
-
-        data = grid[:, :, data_syms]  # (B, P, nsym_d, nsubc, 2)
-        b = data.shape[0]
+        b = grid.shape[0]
         nre = cfg.nof_data_re
+        data = grid[:, :, data_syms]  # (B, P, nsym_d, nsubc, 2)
         y = jnp.transpose(data, (0, 2, 3, 1, 4)).reshape(b, nre, cfg.nof_rx_ports, 2)
-        h = jnp.broadcast_to(
-            jnp.transpose(ce, (1, 0, 2, 3))[:, None, :, :, :],
-            (b, len(data_syms), cfg.nof_rx_ports, cfg.nof_subc, 2),
-        )
-        h = jnp.transpose(h, (0, 1, 3, 2, 4)).reshape(b, nre, cfg.nof_rx_ports, 2)
-        nvar_port = jnp.transpose(noise, (1, 0))  # (B, P)
 
-        eq, eq_nvar = equalize_mmse_1xn(y, h, nvar_port)
-        llr = soft_demap(eq, eq_nvar, cfg.modulation)  # (B, nre*qm) int8
+        if nlayers == 1:
+            est = jax.vmap(
+                lambda g: estimate_channel_hop(g, jnp.asarray(ref_pair), cfg.nof_rb, 2),
+                in_axes=1, out_axes=0,
+            )(rx_pilots)
+            ce = est["ce_pair"]  # (P, B, nsubc, 2)
+            noise = est["noise_var"]  # (P, B)
+            ta = est["time_alignment_s"]
+
+            h = jnp.broadcast_to(
+                jnp.transpose(ce, (1, 0, 2, 3))[:, None, :, :, :],
+                (b, len(data_syms), cfg.nof_rx_ports, cfg.nof_subc, 2),
+            )
+            h = jnp.transpose(h, (0, 1, 3, 2, 4)).reshape(b, nre, cfg.nof_rx_ports, 2)
+            nvar_port = jnp.transpose(noise, (1, 0))  # (B, P)
+            eq, eq_nvar = equalize_mmse_1xn(y, h, nvar_port)
+        else:
+            # Type-1 CDM: despread the fd-OCC over adjacent pilot pairs to split
+            # the per-layer least-squares estimates, then smooth/interpolate each
+            # at stride 4 (reference: dmrs_pusch_estimator_impl.cpp layer CDM).
+            from ..utils.cplx import to_cplx, from_cplx
+
+            ref_c = jnp.asarray(ref)  # (ndmrs, npil) complex (via host constant)
+            yp = to_cplx(rx_pilots)  # (B, P, S, npil)
+            lse = yp * jnp.conj(ref_c)[None, None]
+            pairs = lse.reshape(lse.shape[:-1] + (lse.shape[-1] // 2, 2))
+            despread = jnp.stack(
+                [pairs.mean(-1), (pairs[..., 0] - pairs[..., 1]) * 0.5], axis=0
+            )  # (L, B, P, S, npil/2)
+            ones = jnp.stack(
+                [jnp.ones_like(despread[0].real), jnp.zeros_like(despread[0].real)], -1
+            )
+            despread_pair = from_cplx(despread)
+
+            def est_layer_port(g):
+                return estimate_channel_hop(g, ones[0, 0], cfg.nof_rb, 4)
+
+            est = jax.vmap(
+                jax.vmap(est_layer_port, in_axes=2, out_axes=0), in_axes=0, out_axes=0
+            )(despread_pair)
+            ce = est["ce_pair"]  # (L, P, B, nsubc, 2)
+            noise = jnp.mean(est["noise_var"], axis=0)  # (P, B)
+            ta = est["time_alignment_s"][0]
+
+            h = jnp.broadcast_to(
+                jnp.transpose(ce, (2, 1, 3, 0, 4))[:, None],  # (B, 1, P, nsubc, L, 2)
+                (b, len(data_syms), cfg.nof_rx_ports, cfg.nof_subc, nlayers, 2),
+            )
+            h = jnp.transpose(h, (0, 1, 3, 2, 4, 5)).reshape(
+                b, nre, cfg.nof_rx_ports, nlayers, 2
+            )
+            nvar_port = jnp.transpose(noise, (1, 0))
+            eq_l, nv_l = equalize_mmse_general(y, h, nvar_port)  # (B, nre, L, 2), (B, nre, L)
+            # Layer demap: d(L*i + l) = x_l(i).
+            eq = eq_l.reshape(b, nre * nlayers, 2)
+            eq_nvar = nv_l.reshape(b, nre * nlayers)
+
+        llr = soft_demap(eq, eq_nvar, cfg.modulation)  # (B, nre*L*qm) int8
 
         llr = (llr.astype(jnp.int32) * jnp.asarray(descr_signs)[None, :])
         llr = jnp.clip(llr, -127, 127).astype(jnp.int8)

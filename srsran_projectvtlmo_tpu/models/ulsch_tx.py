@@ -35,22 +35,38 @@ def build_ulsch_tx_slot(cfg: PuschRxConfig):
     data_syms = np.asarray(cfg.data_symbols, dtype=np.int32)
     dmrs_syms = np.asarray(cfg.dmrs_symbols, dtype=np.int32)
 
+    nlayers = cfg.nof_layers
+    # Type-1 fd-OCC over adjacent pilot pairs: layer 0 = (+1, +1), layer 1 = (+1, -1).
+    occ = np.ones((nlayers, ref.shape[-1]), np.float32)
+    if nlayers == 2:
+        occ[1, 1::2] = -1.0
+
     @jax.jit
     def tx(tb_bits):
         b = tb_bits.shape[0]
         syms = sch_tx(tb_bits)
-        data_grid = syms.reshape(b, len(cfg.data_symbols), cfg.nof_subc)
+        if nlayers == 1:
+            layer_syms = syms[:, None, :]
+        else:
+            from ..ops.precoding import layer_map
 
-        grid = jnp.zeros((b, cfg.nof_ofdm_symbols, cfg.nof_subc), jnp.complex64)
-        grid = grid.at[:, data_syms, :].set(data_grid)
-        pil = jnp.zeros((len(cfg.dmrs_symbols), cfg.nof_subc), jnp.complex64)
-        pil = pil.at[:, pil_subc].set(jnp.asarray(ref))
-        grid = grid.at[:, dmrs_syms, :].set(jnp.broadcast_to(pil[None], (b,) + pil.shape))
+            layer_syms = layer_map(syms, nlayers)  # (B, L, G/L)
+        data_grid = layer_syms.reshape(b, nlayers, len(cfg.data_symbols), cfg.nof_subc)
+
+        grid = jnp.zeros((b, nlayers, cfg.nof_ofdm_symbols, cfg.nof_subc), jnp.complex64)
+        grid = grid.at[:, :, data_syms, :].set(data_grid)
+        pil = jnp.zeros((nlayers, len(cfg.dmrs_symbols), cfg.nof_subc), jnp.complex64)
+        pil = pil.at[:, :, pil_subc].set(jnp.asarray(ref)[None] * jnp.asarray(occ)[:, None, :])
+        grid = grid.at[:, :, dmrs_syms, :].set(
+            jnp.broadcast_to(pil[None], (b,) + pil.shape)
+        )
 
         grid_pair = jnp.stack([jnp.real(grid), jnp.imag(grid)], -1).astype(jnp.float32)
         samples = ofdm_mod.ofdm_modulate(
             grid_pair, cfg.dft_size, cfg.numerology, cfg.slot % (1 << cfg.numerology)
         )
+        if nlayers == 1:
+            return grid_pair[:, 0], samples[:, 0]
         return grid_pair, samples
 
     return tx

@@ -79,3 +79,30 @@ class TestPuschChain:
         """Sanity: the CRC gate actually rejects garbage."""
         tb, out = run_loopback(CFG_SMALL, "AWGN", sinr_db=-10.0, seed=5)
         assert not np.asarray(out["tb_crc_ok"]).any()
+
+
+class TestTwoLayer:
+    def test_two_layer_mimo_loopback(self):
+        """2-layer PUSCH over a 4-port MIMO fading channel decodes."""
+        from srsran_projectvtlmo_tpu.models.channel import ChannelEmulator
+        cfg = PuschRxConfig(nof_rb=16, modulation=Modulation.QPSK, target_code_rate=0.3,
+                            nof_layers=2, nof_rx_ports=4, dft_size=256, numerology=1,
+                            nof_ldpc_iterations=8)
+        tx = build_ulsch_tx_slot(cfg)
+        rx = build_pusch_rx_slot(cfg)
+        rng = np.random.default_rng(0)
+        tb = rng.integers(0, 2, (1, cfg.tbs)).astype(np.uint8)
+        grid_pair, _ = tx(jnp.asarray(tb))  # (1, L, 14, nsubc, 2)
+        layer_grids = pair_to_np(np.asarray(grid_pair)[0])  # (L, 14, nsubc)
+        ok = 0
+        n = 4
+        for s in range(n):
+            emu = ChannelEmulator("TDLA", 20.0, cfg.nof_rx_ports, cfg.nof_subc,
+                                  30e3, seed=100 + s)
+            rx_grid, _ = emu.run_mimo(layer_grids)
+            samples = ofdm.ofdm_modulate(jnp.asarray(np_to_pair(rx_grid)),
+                                         cfg.dft_size, cfg.numerology, 0)
+            out = rx(jnp.asarray(np.asarray(samples))[None])
+            if bool(np.asarray(out["tb_crc_ok"])[0]):
+                ok += 1
+        assert ok >= 3, f"2-layer decode succeeded only {ok}/{n} slots"
