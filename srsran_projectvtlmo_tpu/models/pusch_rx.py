@@ -48,6 +48,8 @@ class PuschRxConfig(SchChainConfig):
     #: Use the Pallas TPU kernel for the LDPC decoder (bit-exact vs the XLA
     #: path; substantially faster on real hardware).
     use_pallas_decoder: bool = False
+    #: HARQ-ACK bits multiplexed on PUSCH (0-2 supported: puncturing mode).
+    nof_harq_ack_bits: int = 0
 
 
 def build_pusch_rx_from_grid(cfg: PuschRxConfig):
@@ -77,6 +79,12 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     dmrs_syms = np.asarray(cfg.dmrs_symbols, dtype=np.int32)
 
     nlayers = cfg.nof_layers
+
+    from ..ops.ulsch_demux import harq_ack_re_plan
+
+    ack_res = harq_ack_re_plan(cfg.nof_harq_ack_bits, qm, cfg.nof_subc,
+                               cfg.data_symbols, cfg.dmrs_symbols)
+    ack_bit_idx = (ack_res[:, None] * qm + np.arange(qm)[None, :]).reshape(-1)
 
     @jax.jit
     def rx(grid, harq_buffer=None):
@@ -148,6 +156,17 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         llr = (llr.astype(jnp.int32) * jnp.asarray(descr_signs)[None, :])
         llr = jnp.clip(llr, -127, 127).astype(jnp.int8)
 
+        if cfg.nof_harq_ack_bits:
+            from ..ops import short_block
+
+            ack_llr = llr[:, jnp.asarray(ack_bit_idx)]
+            ack_bits, ack_metric = short_block.detect(ack_llr, cfg.nof_harq_ack_bits, qm)
+            # Punctured positions carry no SCH information: zero their LLRs.
+            llr = llr.at[:, jnp.asarray(ack_bit_idx)].set(0)
+        else:
+            ack_bits = jnp.zeros((b, 0), jnp.uint8)
+            ack_metric = jnp.zeros((b,), jnp.float32)
+
         bufs = []
         for j in range(c):
             cb_llr = llr[:, offsets[j]:offsets[j + 1]]
@@ -193,6 +212,8 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             "snr_db": snr_db,
             "ta_s": jnp.mean(ta, axis=0),
             "harq_soft": soft,
+            "harq_ack_bits": ack_bits,
+            "harq_ack_metric": ack_metric,
         }
 
     return rx

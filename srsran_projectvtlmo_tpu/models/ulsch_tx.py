@@ -25,6 +25,30 @@ def build_ulsch_tx_slot(cfg: PuschRxConfig):
     """Returns a jitted fn: tb_bits (B, TBS) uint8 -> (grid_pair (B, 14, nsubc, 2),
     samples_pair (B, nsamples, 2))."""
     sch_tx = build_sch_symbols_tx(cfg)
+    from ..ran.modulation import bits_per_symbol
+    from ..ops.ulsch_demux import harq_ack_re_plan
+    from ..ops import short_block
+    from ..ops.modulation import modulate
+    from ..ops import prg as prg_mod2
+
+    qm = bits_per_symbol(cfg.modulation)
+    nof_ack = getattr(cfg, "nof_harq_ack_bits", 0)
+    ack_res = harq_ack_re_plan(nof_ack, qm, cfg.nof_subc,
+                               cfg.data_symbols, cfg.dmrs_symbols)
+    if len(ack_res):
+        # Precompute the full ACK codeword table (2^K x G bits), scrambled at
+        # the codeword positions, so the traced bits just gather a row.
+        scr_bits = prg_mod2.gold_sequence_bits(cfg.scrambling_cinit(),
+                                               cfg.nof_codeword_bits)
+        bit_idx = (ack_res[:, None] * qm + np.arange(qm)[None, :]).reshape(-1)
+        table = np.stack([
+            short_block.encode_host(
+                np.array([(m >> (nof_ack - 1 - i)) & 1 for i in range(nof_ack)],
+                         np.uint8), len(ack_res) * qm, qm) ^ scr_bits[bit_idx]
+            for m in range(1 << nof_ack)
+        ])
+        ack_weights = np.array([1 << (nof_ack - 1 - i) for i in range(nof_ack)],
+                               np.int32)
 
     ref = np.stack([
         dmrs_type1_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id, cfg.nof_rb,
@@ -42,9 +66,16 @@ def build_ulsch_tx_slot(cfg: PuschRxConfig):
         occ[1, 1::2] = -1.0
 
     @jax.jit
-    def tx(tb_bits):
+    def tx(tb_bits, ack_bits=None):
         b = tb_bits.shape[0]
         syms = sch_tx(tb_bits)
+        if len(ack_res) and ack_bits is not None:
+            # Gather the precomputed scrambled ACK codeword and overwrite
+            # the punctured REs.
+            idx = jnp.sum(ack_bits.astype(jnp.int32) * jnp.asarray(ack_weights), -1)
+            coded = jnp.take(jnp.asarray(table), idx, axis=0)
+            ack_syms = modulate(coded, cfg.modulation)
+            syms = syms.at[:, jnp.asarray(ack_res)].set(ack_syms)
         if nlayers == 1:
             layer_syms = syms[:, None, :]
         else:

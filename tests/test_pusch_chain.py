@@ -106,3 +106,21 @@ class TestTwoLayer:
             if bool(np.asarray(out["tb_crc_ok"])[0]):
                 ok += 1
         assert ok >= 3, f"2-layer decode succeeded only {ok}/{n} slots"
+
+
+class TestUciOnPusch:
+    def test_harq_ack_multiplexed(self):
+        """2 ACK bits punctured onto PUSCH: both ACK and SCH decode."""
+        import dataclasses
+        cfg = dataclasses.replace(CFG_SMALL, nof_harq_ack_bits=2)
+        tx = build_ulsch_tx_slot(cfg)
+        rx = build_pusch_rx_slot(cfg)
+        rng = np.random.default_rng(11)
+        tb = rng.integers(0, 2, (2, cfg.tbs)).astype(np.uint8)
+        ack = np.array([[1, 0], [0, 1]], np.uint8)
+        grid_pair, samples = tx(jnp.asarray(tb), jnp.asarray(ack))
+        noisy = np.asarray(samples) + 0.002 * rng.normal(size=np.asarray(samples).shape).astype(np.float32)
+        out = rx(jnp.asarray(noisy)[:, None])
+        assert np.asarray(out["tb_crc_ok"]).all(), "SCH failed with ACK puncturing"
+        np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+        np.testing.assert_array_equal(np.asarray(out["harq_ack_bits"]), ack)
