@@ -104,3 +104,47 @@ def ofdm_demodulate(samples_pair, nsubc: int, dft_size: int, mu: int,
         [bins[..., dft_size - half:], bins[..., : nsubc - half]], axis=-1
     ) * jnp.complex64(scale)
     return from_cplx(grid)
+
+
+# ----------------------------------------------------------- PRACH demod ----
+
+def prach_window_samples(sequence_length: int, prach_scs_hz: float, sample_rate_hz: float) -> int:
+    """Samples per PRACH sequence repetition: fs / prach_scs."""
+    n = sample_rate_hz / prach_scs_hz
+    assert abs(n - round(n)) < 1e-6, "sample rate must be a multiple of the PRACH SCS"
+    return int(round(n))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def prach_demodulate(samples_pair, sequence_length: int, freq_offset_subc: int,
+                     prach_scs_hz: float, sample_rate_hz: float):
+    """Extract the frequency-domain PRACH occasion from baseband time samples.
+
+    Args:
+      samples_pair: (..., nwin, 2) one sequence-length window (CP already
+        skipped), nwin = fs / prach_scs.
+      sequence_length: 839 or 139.
+      freq_offset_subc: first occupied PRACH subcarrier relative to the
+        window's DC (lowest frequency of the occasion).
+
+    Returns (..., sequence_length, 2) frequency samples.
+    reference: lib/phy/lower/modulation/ofdm_prach_demodulator_impl.cpp.
+    """
+    nwin = prach_window_samples(sequence_length, prach_scs_hz, sample_rate_hz)
+    x = to_cplx(samples_pair)
+    bins = jnp.fft.fft(x, axis=-1) / jnp.complex64(np.sqrt(nwin))
+    idx = (freq_offset_subc + jnp.arange(sequence_length)) % nwin
+    return from_cplx(bins[..., idx])
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def prach_modulate(freq_pair, sequence_length: int, freq_offset_subc: int,
+                   prach_scs_hz: float, sample_rate_hz: float):
+    """Inverse of prach_demodulate: place the occasion and IFFT to time (UE side)."""
+    nwin = prach_window_samples(sequence_length, prach_scs_hz, sample_rate_hz)
+    z = to_cplx(freq_pair)
+    bins = jnp.zeros(z.shape[:-1] + (nwin,), jnp.complex64)
+    idx = (freq_offset_subc + jnp.arange(sequence_length)) % nwin
+    bins = bins.at[..., idx].set(z)
+    x = jnp.fft.ifft(bins, axis=-1) * jnp.complex64(np.sqrt(nwin))
+    return from_cplx(x)

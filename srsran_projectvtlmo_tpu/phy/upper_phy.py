@@ -95,7 +95,7 @@ class UpperPhy:
             # Non-interleaved CCE-to-REG mapping: 6 consecutive RBs per CCE in
             # the CORESET, DM-RS on subcarriers {1,5,9} of each RB.
             rb0 = (cfg.coreset_rb_start + pdu.coreset_rb_start) + pdu.cce_index * 6
-            self._map_pdcch(grid, pdu.start_symbol, rb0, pdu.aggregation_level, syms, pdu)
+            self._map_pdcch(grid, slot, pdu.start_symbol, rb0, pdu.aggregation_level, syms, pdu)
 
         for i, pdu in enumerate(request.pdsch):
             tb = tx_data.tb_bits[i] if tx_data is not None else None
@@ -114,7 +114,7 @@ class UpperPhy:
             return np.zeros(pdu.nof_dci_bits, np.uint8)
         return np.asarray(payload, np.uint8)
 
-    def _map_pdcch(self, grid, start_symbol, rb0, aggregation_level, syms, pdu):
+    def _map_pdcch(self, grid, slot, start_symbol, rb0, aggregation_level, syms, pdu):
         """Place candidate symbols + DM-RS over `aggregation_level` CCEs."""
         from ..ops import prg as prg_mod
 
@@ -128,7 +128,7 @@ class UpperPhy:
                     grid[start_symbol, k0 + k] = syms[si]
                     si += 1
         # DM-RS: Gold QPSK over the candidate's REGs (TS 38.211 Section 7.4.1.3).
-        cinit = ((1 << 17) * (14 * 0 + start_symbol + 1) * (2 * pdu.n_id + 1) + 2 * pdu.n_id) % (1 << 31)
+        cinit = ((1 << 17) * (14 * slot + start_symbol + 1) * (2 * pdu.n_id + 1) + 2 * pdu.n_id) % (1 << 31)
         npil = aggregation_level * 6 * 3
         m0 = (rb0) * 3
         bits = prg_mod.gold_sequence_bits(cinit, 2 * (m0 + npil)).astype(np.float32)[2 * m0:]

@@ -86,3 +86,18 @@ expert_phy:
     assert cfg.cells[0].nof_rb == 106
     assert cfg.cells[0].phys_cell_id == 7
     assert cfg.expert_phy.pusch_decoder_max_iterations == 8
+
+
+def test_metrics_hub():
+    from srsran_projectvtlmo_tpu.phy.metrics import MetricsHub
+    hub = MetricsHub()
+    for ok in (True, True, False):
+        hub.on_slot()
+        hub.on_pusch(ok, snr_db=20.0)
+    hub.on_uci(True)
+    hub.on_prach(2)
+    s = hub.snapshot()
+    assert s["slots"] == 3
+    assert abs(s["pusch"]["ok_ratio"] - 2 / 3) < 1e-6
+    assert s["pusch"]["avg_snr_db"] == 20.0
+    assert s["uci"]["ok_ratio"] == 1.0

@@ -88,3 +88,28 @@ class TestPrach:
         pair = np.stack([rx.real, rx.imag], -1).astype(np.float32)
         dets = prach.prach_detect(jnp.asarray(pair[None]), cfg)[0]
         assert dets == []
+
+
+class TestPrachOfdm:
+    def test_time_domain_roundtrip_and_detect(self):
+        """UE modulates preamble to time samples; gNB demodulates + detects."""
+        from srsran_projectvtlmo_tpu.ops import ofdm
+        cfg = prach.PrachDetectorConfig(sequence_length=839, root_sequence_index=5,
+                                        zero_correlation_zone=11)
+        freq = prach.prach_generate(cfg, 23)
+        pair = np.stack([freq.real, freq.imag], -1).astype(np.float32)
+        fs = 1024 * 30e3  # small carrier sample rate, multiple of 1.25 kHz
+        t = np.asarray(ofdm.prach_modulate(jnp.asarray(pair), 839, 12, 1.25e3, fs))
+        assert t.shape == (int(fs / 1.25e3), 2)
+        # Add a 2-sample delay (cyclic within the window) and mild noise.
+        delay = 24  # time-domain samples at fs; = 24 * 839 / nwin seq samples
+        t_delayed = np.roll(t, delay, axis=0)
+        rng = np.random.default_rng(0)
+        t_delayed += 0.001 * rng.normal(size=t_delayed.shape).astype(np.float32)
+        back = ofdm.prach_demodulate(jnp.asarray(t_delayed), 839, 12, 1.25e3, fs)
+        dets = prach.prach_detect(jnp.asarray(np.asarray(back))[None], cfg)[0]
+        assert dets, "no detection after time-domain roundtrip"
+        best = max(dets, key=lambda d: d[2])
+        assert best[0] == 23
+        expect_ta = delay * 839 / (fs / 1.25e3)
+        assert abs(best[1] - expect_ta) <= 1.5, f"TA {best[1]} vs {expect_ta}"
