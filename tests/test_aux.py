@@ -98,6 +98,6 @@ def test_metrics_hub():
     hub.on_prach(2)
     s = hub.snapshot()
     assert s["slots"] == 3
-    assert abs(s["pusch"]["ok_ratio"] - 2 / 3) < 1e-6
+    assert abs(s["pusch"]["ok_ratio"] - 2 / 3) < 1e-3  # snapshot rounds to 4 places
     assert s["pusch"]["avg_snr_db"] == 20.0
     assert s["uci"]["ok_ratio"] == 1.0
