@@ -51,7 +51,9 @@ def main() -> None:
 
     out = rx(samples)  # compile
     jax.block_until_ready(out["tb_crc_ok"])
-    ok = np.asarray(out["tb_crc_ok"])
+    from srsran_projectvtlmo_tpu.utils.xfer import to_host
+
+    ok = to_host(out["tb_crc_ok"])
     assert ok.all(), f"benchmark slot failed decode: {ok}"
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))

@@ -33,6 +33,7 @@ from ..ops import ofdm as ofdm_mod
 from ..ops import prach as prach_mod
 from ..ops.dmrs import dmrs_type1_sequence
 from ..utils.cplx import np_to_pair, pair_to_np
+from ..utils.xfer import to_host
 from . import pbch as pbch_mod
 from . import pdcch as pdcch_mod
 from . import pucch as pucch_mod
@@ -105,7 +106,7 @@ class UpperPhy:
         samples = ofdm_mod.ofdm_modulate(
             pair, cfg.dft_size, cfg.numerology, slot % (1 << cfg.numerology)
         )
-        return grid, np.asarray(samples)
+        return grid, to_host(samples)
 
     def _dci_payload(self, pdu) -> np.ndarray:
         # The DCI payload bits arrive from L2; tests set them via the attribute.
@@ -243,7 +244,7 @@ class UpperPhy:
             self.harq_pool._soft = self.harq_pool._soft.at[
                 buf_idx, :seg.nof_cb, :n
             ].set(out["harq_soft"][0])
-        ok = bool(np.asarray(out["tb_crc_ok"])[0])
+        ok = bool(to_host(out["tb_crc_ok"])[0])
         if ok:
             self.harq_pool.release(pdu.rnti, pdu.harq_id)
         return [
