@@ -79,9 +79,15 @@ class TestDecoder:
         np.testing.assert_array_equal(np.asarray(hard)[0], g_hard)
 
     @pytest.mark.parametrize("bg,z", [(BaseGraph.BG1, 13), (BaseGraph.BG2, 16)])
-    def test_pallas_matches_xla(self, bg, z):
-        """The Pallas kernel (interpret mode on CPU) is bit-exact vs the XLA decoder."""
-        from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import ldpc_decode_pallas
+    @pytest.mark.parametrize("variant", ["v1", "v2"])
+    def test_pallas_matches_xla(self, bg, z, variant):
+        """Both Pallas kernels (interpret mode on CPU) are bit-exact vs the XLA decoder."""
+        if variant == "v1":
+            from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import ldpc_decode_pallas
+        else:
+            from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas_v2 import (
+                ldpc_decode_pallas_v2 as ldpc_decode_pallas,
+            )
 
         g = get_graph(bg, z)
         rng = np.random.default_rng(z + 5)
