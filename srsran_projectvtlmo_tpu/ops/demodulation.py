@@ -54,6 +54,12 @@ def soft_demap(symbols_pair, noise_var, mod: Modulation):
     """
     c_pair, c_norm, bits = _demap_tables(mod)
     qm = bits_per_symbol(mod)
+    if mod == Modulation.PI_2_BPSK:
+        # Derotate odd symbols by -pi/2: (re, im) -> (im, -re).
+        n = symbols_pair.shape[-2]
+        odd = (jnp.arange(n) % 2 == 1)[..., None]
+        rot = jnp.stack([symbols_pair[..., 1], -symbols_pair[..., 0]], -1)
+        symbols_pair = jnp.where(odd, rot, symbols_pair)
     # (..., nsym, M) distance metrics via one matmul.
     cross = jnp.matmul(symbols_pair.astype(jnp.float32), jnp.asarray(c_pair).T,
                        preferred_element_type=jnp.float32)

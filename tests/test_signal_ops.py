@@ -143,3 +143,43 @@ class TestEqualizer:
         err = np.abs(got - x).max()
         assert err < 0.05, f"layer separation error {err}"
         assert (np.asarray(nv) < 0.01).all()
+
+
+class TestStreamingAndErrors:
+    def test_pi2_bpsk_demap_roundtrip(self):
+        from srsran_projectvtlmo_tpu.ops.modulation import modulate_np
+        rng = np.random.default_rng(12)
+        bits = rng.integers(0, 2, 128).astype(np.uint8)
+        sym = modulate_np(bits, Modulation.PI_2_BPSK)
+        pair = np.stack([sym.real, sym.imag], -1).astype(np.float32)
+        nv = np.full(128, 0.05, np.float32)
+        llr = demodulation.soft_demap(jnp.asarray(pair), jnp.asarray(nv), Modulation.PI_2_BPSK)
+        hard = np.asarray(demodulation.hard_demap(llr))
+        np.testing.assert_array_equal(hard, bits)
+
+    def test_rx_symbol_handler_dispatch(self):
+        from srsran_projectvtlmo_tpu.phy.rx_symbol_handler import RxSymbolHandler
+        from srsran_projectvtlmo_tpu.fapi.pdus import PuschPdu
+        h = RxSymbolHandler(nof_rx_ports=1, nof_subc=48)
+        pdu = PuschPdu(rnti=1, rb_start=0, rb_size=4, modulation=Modulation.QPSK,
+                       target_code_rate=0.3, start_symbol=0, nof_symbols=5)
+        h.repo.add(slot=0, pdu=pdu)
+        ready = []
+        for s in range(14):
+            ready += h.handle_rx_symbol(0, s, np.zeros((1, 48), np.complex64))
+            if s < 4:
+                assert not ready
+        assert ready == [pdu]
+        assert h.repo.nof_pending(0) == 0
+
+    def test_error_handler_late_slot(self):
+        import time
+        from srsran_projectvtlmo_tpu.phy.error_handler import UpperPhyErrorHandler
+        events = []
+        eh = UpperPhyErrorHandler(slot_duration_s=0.0005,
+                                  on_error=lambda k, s, l: events.append((k, s)))
+        t0 = time.perf_counter()
+        time.sleep(0.002)
+        assert not eh.check_dl_deadline(1, t0)
+        assert eh.stats.late_dl == 1 and events == [("late_dl", 1)]
+        assert eh.check_ul_deadline(2, time.perf_counter())
