@@ -47,9 +47,13 @@ def _make_kernel(bg: BaseGraph, z: int, nof_iterations: int, sf: float, b_tile: 
     nv, m, e_max = g.n_full, g.m, g.max_row_degree
 
     def rot_left(x, s):
-        """x (b, z) rotated left by traced s: out[i] = x[(i + s) mod z]."""
-        xx = jnp.concatenate([x, x], axis=-1)
-        return jax.lax.dynamic_slice_in_dim(xx, s, z, axis=-1)
+        """x (b, z) rotated left by traced s: out[i] = x[(i + s) mod z].
+
+        pltpu.roll rolls right by the (dynamic) shift, so left-by-s is
+        right-by-(z - s); Mosaic supports dynamic lane rotates, while value
+        dynamic_slice does not lower (KernelType.TC limitation).
+        """
+        return pltpu.roll(x, z - s, axis=1)
 
     def kernel(cols_ref, shifts_ref, llr_ref, out_ref,
                soft, min1, min2, amin, signs, sprod):
@@ -109,10 +113,9 @@ def _make_kernel(bg: BaseGraph, z: int, nof_iterations: int, sf: float, b_tile: 
                 mag = jnp.where(new_am == e, s_m2, s_m1)
                 c2v = jnp.where((new_sp ^ sign_e) == 1, -mag, mag)
                 soft_new = _promotion_sum(c2v, v2c)
-                # Padded edges write the trash row (col == nv). Back-rotation by
-                # (z - s) maps check domain to variable domain; s=0 -> start z,
-                # which slices the second copy (identity) without needing a mod.
-                soft[col] = rot_left(soft_new, z - s)
+                # Padded edges write the trash row (col == nv). Back-rotation
+                # to the variable domain is a right-roll by s.
+                soft[col] = pltpu.roll(soft_new, s, axis=1)
             min1[r] = s_m1
             min2[r] = s_m2
             amin[r] = new_am
