@@ -101,3 +101,16 @@ def test_metrics_hub():
     assert abs(s["pusch"]["ok_ratio"] - 2 / 3) < 1e-3  # snapshot rounds to 4 places
     assert s["pusch"]["avg_snr_db"] == 20.0
     assert s["uci"]["ok_ratio"] == 1.0
+
+
+def test_warmup_precompiles_slot_variants():
+    import jax.numpy as jnp
+    from srsran_projectvtlmo_tpu.phy.warmup import precompile_pusch
+    from srsran_projectvtlmo_tpu.models.pusch_rx import PuschRxConfig
+    from srsran_projectvtlmo_tpu.ran.modulation import Modulation
+    cfg = PuschRxConfig(nof_rb=4, modulation=Modulation.QPSK, target_code_rate=0.3,
+                        dft_size=128, numerology=1)
+    seen = []
+    pool = precompile_pusch(cfg, nof_slots=2, progress=lambda s, dt: seen.append(s))
+    assert sorted(pool) == [0, 1]
+    assert seen == [0, 1]
