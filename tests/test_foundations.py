@@ -153,3 +153,22 @@ class TestRanMath:
         assert sch.choose_base_graph(200, 0.9) == ldpc_params.BaseGraph.BG2
         assert sch.choose_base_graph(4000, 0.9) == ldpc_params.BaseGraph.BG1
         assert sch.choose_base_graph(10000, 0.2) == ldpc_params.BaseGraph.BG2
+
+
+class TestSlotPoint:
+    def test_arithmetic_and_wrap(self):
+        from srsran_projectvtlmo_tpu.ran.slot import SlotPoint
+        s = SlotPoint(1, 19)  # mu=1: 20 slots/frame
+        assert s.sfn == 0 and s.slot_index == 19
+        t = s + 1
+        assert t.sfn == 1 and t.slot_index == 0
+        assert t - s == 1
+        assert s < t
+        # Hyperframe wrap: distance is signed shortest path.
+        a = SlotPoint(1, 0)
+        b = a + (1024 * 20 - 1)
+        assert a - b == 1
+        assert b < a
+        u = SlotPoint(1, 43)
+        assert u.subframe_index == (43 % 20) // 2
+        assert u.slot_in_subframe == 43 % 2
