@@ -68,11 +68,13 @@ class UpperPhy:
     # ------------------------------------------------------------------ DL --
 
     def process_dl_slot(self, request: DlTtiRequest, tx_data: TxDataRequest | None = None):
-        """Build the DL slot and return (grid (nsym, nsubc) complex64,
-        samples (nsamples, 2) float32 numpy)."""
+        """Build the DL slot and return (grid (nports, nsym, nsubc) complex64
+        -- squeezed to (nsym, nsubc) for single-port cells -- and the OFDM
+        samples (..., nsamples, 2) float32 numpy)."""
         cfg = self.cfg
         slot = request.slot
-        grid = np.zeros((14, cfg.nof_subc), np.complex64)
+        ports = np.zeros((cfg.nof_tx_ports, 14, cfg.nof_subc), np.complex64)
+        grid = ports[0]  # SSB and PDCCH map to the first antenna port
 
         for ssb in request.ssb:
             msg = pbch_mod.PbchMessage(
@@ -100,13 +102,14 @@ class UpperPhy:
 
         for i, pdu in enumerate(request.pdsch):
             tb = tx_data.tb_bits[i] if tx_data is not None else None
-            self._map_pdsch(grid, slot, pdu, tb)
+            self._map_pdsch(ports, slot, pdu, tb)
 
-        pair = jnp.asarray(np_to_pair(grid))
+        out_grid = ports[0] if cfg.nof_tx_ports == 1 else ports
+        pair = jnp.asarray(np_to_pair(out_grid))
         samples = ofdm_mod.ofdm_modulate(
             pair, cfg.dft_size, cfg.numerology, slot % (1 << cfg.numerology)
         )
-        return grid, to_host(samples)
+        return out_grid, to_host(samples)
 
     def _dci_payload(self, pdu) -> np.ndarray:
         # The DCI payload bits arrive from L2; tests set them via the attribute.
@@ -143,8 +146,12 @@ class UpperPhy:
                     grid[start_symbol, k0 + k] = pil[pi]
                     pi += 1
 
-    def _map_pdsch(self, grid, slot, pdu, tb_bits):
+    def _map_pdsch(self, ports, slot, pdu, tb_bits):
+        """Map one PDSCH onto the antenna-port grids with identity-style
+        precoding (layer l -> port l mod P; reference resource_grid_mapper
+        applies the configured precoding matrix per RE pattern)."""
         cfg = self.cfg
+        grid = ports if ports.ndim == 2 else ports[0]
         sch_cfg = PdschTxConfig(
             nof_rb=pdu.rb_size, modulation=pdu.modulation,
             target_code_rate=pdu.target_code_rate, nof_layers=pdu.nof_layers,
@@ -158,17 +165,26 @@ class UpperPhy:
             tb_bits = np.zeros(sch_cfg.tbs, np.uint8)
         assert len(tb_bits) == sch_cfg.tbs, f"TB size {len(tb_bits)} != {sch_cfg.tbs}"
         syms = np.asarray(build_sch_symbols_tx(sch_cfg)(jnp.asarray(tb_bits[None])))[0]
-        data = syms.reshape(len(sch_cfg.data_symbols), sch_cfg.nof_subc)
+        nl = pdu.nof_layers
+        port_grids = ports if ports.ndim == 3 else ports[None]
+        # Layer map: x_l(i) = d(nl*i + l); identity precoding layer->port.
+        layers = syms.reshape(-1, nl).T.reshape(nl, len(sch_cfg.data_symbols),
+                                                sch_cfg.nof_subc)
         k0 = pdu.rb_start * 12
         di = 0
+        occ = np.ones((nl, 6 * pdu.rb_size), np.float32)
+        if nl == 2:
+            occ[1, 1::2] = -1.0
         for s in range(pdu.nof_symbols):
             sym = pdu.start_symbol + s
             if sym in pdu.dmrs_symbols:
                 ref = dmrs_type1_sequence(slot, sym, pdu.n_id, pdu.rb_size,
                                           prb_start=pdu.rb_start)
-                grid[sym, k0:k0 + sch_cfg.nof_subc][0::2] = ref
+                for l in range(nl):
+                    port_grids[l % port_grids.shape[0]][sym, k0:k0 + sch_cfg.nof_subc][0::2] = ref * occ[l]
             else:
-                grid[sym, k0:k0 + sch_cfg.nof_subc] = data[di]
+                for l in range(nl):
+                    port_grids[l % port_grids.shape[0]][sym, k0:k0 + sch_cfg.nof_subc] = layers[l, di]
                 di += 1
 
     # ------------------------------------------------------------------ UL --
