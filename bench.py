@@ -137,7 +137,7 @@ def main() -> None:
         print(json.dumps(result))
         return
 
-    nrb = int(os.environ.get("BENCH_NRB", "106"))
+    nrb = int(os.environ.get("BENCH_NRB", "273"))
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     # (spec, per-try budget seconds, tries): the remote compiler is erratic --
