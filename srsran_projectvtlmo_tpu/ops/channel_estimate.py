@@ -107,12 +107,24 @@ def estimate_channel_hop(
 
     rsrp = jnp.mean(jnp.abs(smoothed) ** 2, axis=-1)
     epre = jnp.mean(jnp.abs(y) ** 2, axis=(-1, -2))
+
+    # CFO: average phase rotation between consecutive DM-RS symbols of the hop
+    # (reference: port_channel_estimator_average_impl CFO branch; requires the
+    # caller to scale by the actual symbol spacing -- here assumed adjacent
+    # symbols, one OFDM symbol duration 1/(scs*(1+cp)) ~ 1/scs apart).
+    if nsym >= 2:
+        xcorr = jnp.sum(lse_sym[..., 1:, :] * jnp.conj(lse_sym[..., :-1, :]), axis=(-1, -2))
+        cfo_hz = jnp.angle(xcorr) * scs_hz / (2.0 * jnp.pi)
+    else:
+        cfo_hz = jnp.zeros(noise_var.shape, jnp.float32)
+
     return {
         "ce_pair": from_cplx(ce),
         "noise_var": noise_var,
         "rsrp": rsrp,
         "epre": epre,
         "time_alignment_s": ta_s,
+        "cfo_hz": cfo_hz,
     }
 
 

@@ -183,3 +183,23 @@ class TestStreamingAndErrors:
         assert not eh.check_dl_deadline(1, t0)
         assert eh.stats.late_dl == 1 and events == [("late_dl", 1)]
         assert eh.check_ul_deadline(2, time.perf_counter())
+
+
+def test_channel_estimator_cfo():
+    """Two DM-RS symbols with a known inter-symbol phase drift -> CFO estimate."""
+    from srsran_projectvtlmo_tpu.ops.channel_estimate import estimate_channel_hop
+    nof_rb = 8
+    npil = 6 * nof_rb
+    rng = np.random.default_rng(0)
+    ref = (rng.normal(size=npil) + 1j * rng.normal(size=npil)).astype(np.complex64)
+    ref /= np.abs(ref)
+    scs = 30e3
+    cfo_true = 300.0  # Hz
+    phase = np.exp(2j * np.pi * cfo_true / scs)
+    h = 0.9 + 0.1j
+    rx = np.stack([h * ref, h * ref * phase])[None]  # (1, 2, npil)
+    pair = np.stack([rx.real, rx.imag], -1).astype(np.float32)
+    ref_pair = np.stack([ref.real, ref.imag], -1).astype(np.float32)
+    out = estimate_channel_hop(jnp.asarray(pair), jnp.asarray(ref_pair), nof_rb, 2)
+    got = float(np.asarray(out["cfo_hz"])[0])
+    assert abs(got - cfo_true) < 20, f"cfo {got} vs {cfo_true}"
