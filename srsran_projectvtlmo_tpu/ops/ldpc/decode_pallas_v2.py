@@ -1,11 +1,11 @@
 """Compile-light Pallas LDPC decoder: layers run in a fori_loop with the graph
-as scalar-prefetched tables, rotations as dynamic lane rolls, and per-edge work
-predicated on the actual row degree.
+as scalar-prefetched tables and rotations as dynamic lane slices.
 
-Same arithmetic as decode.py / decode_pallas.py (bit-exact).  The kernel's
-program size is independent of iterations x edges (fast Mosaic compile at every
-lifting size), and @pl.when gates skip the padded edge slots entirely (mean
-BG1 row degree ~6.9 vs the padded maximum 19).
+Same arithmetic as decode.py / decode_pallas.py (bit-exact).  Trades some
+steady-state speed (dynamic rotates, masked padded edges) for a kernel whose
+program size is independent of the graph -- O(E_max) ops instead of
+O(iterations x edges) -- so the (remote) Mosaic compile stays fast at every
+lifting size.
 """
 
 from __future__ import annotations
@@ -47,19 +47,21 @@ def _make_kernel(bg: BaseGraph, z: int, nof_iterations: int, sf: float, b_tile: 
     nv, m, e_max = g.n_full, g.m, g.max_row_degree
 
     def rot_left(x, s):
-        """pltpu.roll rolls right (np.roll semantics); left-by-s = right-by-(z-s).
+        """x (b, z) rotated left by traced s: out[i] = x[(i + s) mod z].
 
-        Mosaic supports dynamic lane rotates; value dynamic_slice does not lower.
+        pltpu.roll rolls right by the (dynamic) shift, so left-by-s is
+        right-by-(z - s); Mosaic supports dynamic lane rotates, while value
+        dynamic_slice does not lower (KernelType.TC limitation).
         """
         return pltpu.roll(x, z - s, axis=1)
 
-    def kernel(cols_ref, shifts_ref, degs_ref, llr_ref, out_ref,
-               soft, v2c_s, m1_s, m2_s, am_s, sb_s,
-               min1, min2, amin, signs, sprod):
+    def kernel(cols_ref, shifts_ref, llr_ref, out_ref,
+               soft, min1, min2, amin, signs, sprod):
         soft[0] = jnp.zeros((b_tile, z), jnp.int32)
         soft[1] = jnp.zeros((b_tile, z), jnp.int32)
         for c in range(2, nv):
             soft[c] = llr_ref[c - 2].astype(jnp.int32)
+        soft[nv] = jnp.zeros((b_tile, z), jnp.int32)  # trash row for padded edges
         min1[...] = jnp.zeros((m, b_tile, z), jnp.int32)
         min2[...] = jnp.zeros((m, b_tile, z), jnp.int32)
         amin[...] = jnp.zeros((m, b_tile, z), jnp.int32)
@@ -67,64 +69,53 @@ def _make_kernel(bg: BaseGraph, z: int, nof_iterations: int, sf: float, b_tile: 
         sprod[...] = jnp.zeros((m, b_tile, z), jnp.int32)
 
         def layer_body(r, _):
-            deg = degs_ref[r]
             old_m1 = min1[r]
             old_m2 = min2[r]
             old_am = amin[r]
             old_sb = signs[r]
             old_sp = sprod[r]
 
-            m1_s[...] = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
-            m2_s[...] = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
-            am_s[...] = jnp.zeros((b_tile, z), jnp.int32)
-            sb_s[...] = jnp.zeros((b_tile, z), jnp.int32)
-
-            # Pass 1: v2c per live edge, running min/second-min/argmin/signs.
+            new_m1 = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
+            new_m2 = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
+            new_am = jnp.zeros((b_tile, z), jnp.int32)
+            new_sp = jnp.zeros((b_tile, z), jnp.int32)
+            new_sb = jnp.zeros((b_tile, z), jnp.int32)
+            v2cs = []
+            infos = []
             for e in range(e_max):
-                @pl.when(e < deg)
-                def _():
-                    col = cols_ref[r * e_max + e]
-                    s = shifts_ref[r * e_max + e]
-                    soft_chk = rot_left(soft[col], s)
-                    old_sign_e = jnp.bitwise_and(old_sb >> e, 1)
-                    old_mag = jnp.where(old_am == e, old_m2, old_m1)
-                    c2v_old = jnp.where((old_sp ^ old_sign_e) == 1, -old_mag, old_mag)
-                    v2c = _sat_sub(soft_chk, c2v_old)
-                    v2c_s[e] = v2c
+                col = cols_ref[r * e_max + e]       # nv (trash) when padded
+                s = shifts_ref[r * e_max + e]
+                valid = col < nv
+                soft_chk = rot_left(soft[col], s)
+                old_sign_e = jnp.bitwise_and(old_sb >> e, 1)
+                old_mag = jnp.where(old_am == e, old_m2, old_m1)
+                c2v_old = jnp.where((old_sp ^ old_sign_e) == 1, -old_mag, old_mag)
+                v2c = _sat_sub(soft_chk, c2v_old)
+                v2cs.append(v2c)
+                infos.append((col, s, valid))
 
-                    absv = jnp.abs(v2c)
-                    sign = (v2c < 0).astype(jnp.int32)
-                    cm1 = m1_s[...]
-                    cm2 = m2_s[...]
-                    is_min = absv < cm1
-                    m2_s[...] = jnp.where(is_min, cm1, jnp.minimum(cm2, absv))
-                    am_s[...] = jnp.where(is_min, e, am_s[...])
-                    m1_s[...] = jnp.where(is_min, absv, cm1)
-                    sb_s[...] = sb_s[...] | (sign << e)
+                absv = jnp.where(valid, jnp.abs(v2c), LLR_INFTY + 1)
+                sign = jnp.where(valid, (v2c < 0).astype(jnp.int32), 0)
+                is_min = absv < new_m1
+                new_m2 = jnp.where(is_min, new_m1, jnp.minimum(new_m2, absv))
+                new_am = jnp.where(is_min, e, new_am)
+                new_m1 = jnp.where(is_min, absv, new_m1)
+                new_sp = new_sp ^ sign
+                new_sb = new_sb | (sign << e)
 
-            new_sb = sb_s[...]
-            # Sign product = parity of the per-edge sign bitmask (popcount & 1).
-            pop = new_sb
-            pop = pop - ((pop >> 1) & 0x55555555)
-            pop = (pop & 0x33333333) + ((pop >> 2) & 0x33333333)
-            pop = (pop + (pop >> 4)) & 0x0F0F0F0F
-            new_sp = ((pop * 0x01010101) >> 24) & 1
-            new_am = am_s[...]
-            s_m1 = _scale(m1_s[...], sf)
-            s_m2 = _scale(m2_s[...], sf)
+            s_m1 = _scale(new_m1, sf)
+            s_m2 = _scale(new_m2, sf)
 
-            # Pass 2: c2v update + soft-bit update (rotate back to var domain).
             for e in range(e_max):
-                @pl.when(e < deg)
-                def _():
-                    col = cols_ref[r * e_max + e]
-                    s = shifts_ref[r * e_max + e]
-                    v2c = v2c_s[e]
-                    sign_e = jnp.bitwise_and(new_sb >> e, 1)
-                    mag = jnp.where(new_am == e, s_m2, s_m1)
-                    c2v = jnp.where((new_sp ^ sign_e) == 1, -mag, mag)
-                    soft_new = _promotion_sum(c2v, v2c)
-                    soft[col] = pltpu.roll(soft_new, s, axis=1)
+                col, s, valid = infos[e]
+                v2c = v2cs[e]
+                sign_e = jnp.bitwise_and(new_sb >> e, 1)
+                mag = jnp.where(new_am == e, s_m2, s_m1)
+                c2v = jnp.where((new_sp ^ sign_e) == 1, -mag, mag)
+                soft_new = _promotion_sum(c2v, v2c)
+                # Padded edges write the trash row (col == nv). Back-rotation
+                # to the variable domain is a right-roll by s.
+                soft[col] = pltpu.roll(soft_new, s, axis=1)
             min1[r] = s_m1
             min2[r] = s_m2
             amin[r] = new_am
@@ -141,10 +132,10 @@ def _make_kernel(bg: BaseGraph, z: int, nof_iterations: int, sf: float, b_tile: 
         for c in range(g.kb):
             out_ref[c] = jnp.clip(soft[c], -LLR_INFTY, LLR_INFTY).astype(jnp.int8)
 
-    cols = np.where(g.row_cols >= 0, g.row_cols, nv - 1).astype(np.int32).reshape(-1)
+    # Padded tables: invalid edges point at the trash row with shift 0.
+    cols = np.where(g.row_cols >= 0, g.row_cols, nv).astype(np.int32).reshape(-1)
     shifts = np.where(g.row_cols >= 0, g.row_shifts, 0).astype(np.int32).reshape(-1)
-    degs = (g.row_cols >= 0).sum(axis=1).astype(np.int32)
-    return kernel, g, cols, shifts, degs
+    return kernel, g, cols, shifts
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
@@ -157,8 +148,7 @@ def ldpc_decode_pallas_v2(
     b_tile: int = DEFAULT_B_TILE,
 ):
     """Drop-in equivalent of ldpc_decode / ldpc_decode_pallas."""
-    kernel, g, cols, shifts, degs = _make_kernel(bg, z, nof_iterations,
-                                                 float(scaling_factor), b_tile)
+    kernel, g, cols, shifts = _make_kernel(bg, z, nof_iterations, float(scaling_factor), b_tile)
     b = llrs.shape[0]
     pad = (-b) % b_tile
     if pad:
@@ -169,24 +159,19 @@ def ldpc_decode_pallas_v2(
     dev = jax.devices()[0]
     interpret = not (dev.platform == "tpu" or "TPU" in str(dev))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(bp // b_tile,),
         in_specs=[pl.BlockSpec((g.n_full - 2, b_tile, z), lambda i, *_: (0, i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((g.kb, b_tile, z), lambda i, *_: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((g.n_full, b_tile, z), jnp.int32),      # soft
-            pltpu.VMEM((g.max_row_degree, b_tile, z), jnp.int32),  # v2c per edge
-            pltpu.VMEM((b_tile, z), jnp.int32),                # min1 accum
-            pltpu.VMEM((b_tile, z), jnp.int32),                # min2 accum
-            pltpu.VMEM((b_tile, z), jnp.int32),                # argmin accum
-            pltpu.VMEM((b_tile, z), jnp.int32),                # sign bits accum
-            pltpu.VMEM((g.m, b_tile, z), jnp.int32),           # min1 state
-            pltpu.VMEM((g.m, b_tile, z), jnp.int32),           # min2 state
-            pltpu.VMEM((g.m, b_tile, z), jnp.int32),           # argmin state
-            pltpu.VMEM((g.m, b_tile, z), jnp.int32),           # signs state
-            pltpu.VMEM((g.m, b_tile, z), jnp.int32),           # sign product state
+            pltpu.VMEM((g.n_full + 1, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
         ],
     )
     out = pl.pallas_call(
@@ -194,7 +179,7 @@ def ldpc_decode_pallas_v2(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g.kb, bp, z), jnp.int8),
         interpret=interpret,
-    )(jnp.asarray(cols), jnp.asarray(shifts), jnp.asarray(degs), x)
+    )(jnp.asarray(cols), jnp.asarray(shifts), x)
     soft_info = jnp.transpose(out, (1, 0, 2)).reshape(bp, g.kb * z)[:b]
     hard = (soft_info <= 0).astype(jnp.uint8)
     return hard, soft_info
