@@ -21,14 +21,23 @@ import numpy as np
 from ..utils.cplx import to_cplx, from_cplx
 
 SYMBOLS_PER_SLOT = 14
+SYMBOLS_PER_SLOT_EXTENDED = 12
 
 
-def cp_lengths(dft_size: int, mu: int, slot_in_subframe: int) -> list[int]:
-    """Normal-CP lengths in samples for the 14 symbols of the given slot.
+def nof_symbols_per_slot(cp: str = "normal") -> int:
+    return SYMBOLS_PER_SLOT if cp == "normal" else SYMBOLS_PER_SLOT_EXTENDED
 
-    CP is 144 * (dft/2048) samples, +16 * (dft/2048) on symbols at subframe
-    position l = 0 and l = 7 * 2^mu (the first symbol of each half subframe).
+
+def cp_lengths(dft_size: int, mu: int, slot_in_subframe: int, cp: str = "normal") -> list[int]:
+    """CP lengths in samples for the symbols of the given slot.
+
+    Normal CP: 14 symbols, 144 * (dft/2048) samples each, +16 * (dft/2048) on
+    symbols at subframe position l = 0 and l = 7 * 2^mu (first of each half
+    subframe). Extended CP: 12 symbols, 512 * (dft/2048) each (TS 38.211
+    Table 5.3.1-1).
     """
+    if cp == "extended":
+        return [512 * dft_size // 2048] * SYMBOLS_PER_SLOT_EXTENDED
     base = 144 * dft_size // 2048
     extra = 16 * dft_size // 2048
     lengths = []
@@ -39,44 +48,48 @@ def cp_lengths(dft_size: int, mu: int, slot_in_subframe: int) -> list[int]:
     return lengths
 
 
-def slot_sample_count(dft_size: int, mu: int, slot_in_subframe: int = 0) -> int:
-    return sum(cp_lengths(dft_size, mu, slot_in_subframe)) + SYMBOLS_PER_SLOT * dft_size
+def slot_sample_count(dft_size: int, mu: int, slot_in_subframe: int = 0,
+                      cp: str = "normal") -> int:
+    return (sum(cp_lengths(dft_size, mu, slot_in_subframe, cp))
+            + nof_symbols_per_slot(cp) * dft_size)
 
 
 @functools.lru_cache(maxsize=None)
-def _phase_compensation(dft_size: int, mu: int, slot_in_subframe: int, center_freq_hz: float) -> np.ndarray:
+def _phase_compensation(dft_size: int, mu: int, slot_in_subframe: int, center_freq_hz: float,
+                        cp: str = "normal") -> np.ndarray:
     """Per-symbol phase compensation factors exp(-j 2 pi f_c t_start_l)."""
     scs = 15e3 * (1 << mu)
     srate = dft_size * scs
-    cps = cp_lengths(dft_size, mu, slot_in_subframe)
+    cps = cp_lengths(dft_size, mu, slot_in_subframe, cp)
     t = 0.0
     factors = []
-    for l in range(SYMBOLS_PER_SLOT):
+    for l in range(nof_symbols_per_slot(cp)):
         t_start = (t + cps[l]) / srate  # symbol body start
         factors.append(np.exp(-2j * np.pi * center_freq_hz * t_start))
         t += cps[l] + dft_size
     return np.asarray(factors, dtype=np.complex64)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def ofdm_modulate(grid_pair, dft_size: int, mu: int, slot_in_subframe: int = 0,
-                  center_freq_hz: float = 0.0, scale: float = 1.0):
-    """(..., 14, nsubc, 2) resource grid -> (..., nsamples, 2) baseband.
+                  center_freq_hz: float = 0.0, scale: float = 1.0, cp: str = "normal"):
+    """(..., nsym, nsubc, 2) resource grid -> (..., nsamples, 2) baseband.
 
     Subcarrier k in [0, nsubc) maps to DFT bin (k - nsubc/2) mod dft.
     """
+    nsym = nof_symbols_per_slot(cp)
     nsubc = grid_pair.shape[-2]
-    grid = to_cplx(grid_pair)  # (..., 14, nsubc)
+    grid = to_cplx(grid_pair)  # (..., nsym, nsubc)
     half = nsubc // 2
     bins = jnp.zeros(grid.shape[:-1] + (dft_size,), jnp.complex64)
     bins = bins.at[..., dft_size - half:].set(grid[..., :half])
     bins = bins.at[..., : nsubc - half].set(grid[..., half:])
     x = jnp.fft.ifft(bins, axis=-1) * (dft_size * scale)
-    phase = jnp.asarray(_phase_compensation(dft_size, mu, slot_in_subframe, center_freq_hz))
-    x = x * phase.reshape((SYMBOLS_PER_SLOT, 1))
-    cps = cp_lengths(dft_size, mu, slot_in_subframe)
+    phase = jnp.asarray(_phase_compensation(dft_size, mu, slot_in_subframe, center_freq_hz, cp))
+    x = x * phase.reshape((nsym, 1))
+    cps = cp_lengths(dft_size, mu, slot_in_subframe, cp)
     pieces = []
-    for l in range(SYMBOLS_PER_SLOT):
+    for l in range(nsym):
         sym = x[..., l, :]
         pieces.append(sym[..., dft_size - cps[l]:])
         pieces.append(sym)
@@ -84,21 +97,23 @@ def ofdm_modulate(grid_pair, dft_size: int, mu: int, slot_in_subframe: int = 0,
     return from_cplx(out)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
 def ofdm_demodulate(samples_pair, nsubc: int, dft_size: int, mu: int,
-                    slot_in_subframe: int = 0, center_freq_hz: float = 0.0, scale: float = 1.0):
-    """(..., nsamples, 2) baseband -> (..., 14, nsubc, 2) resource grid."""
+                    slot_in_subframe: int = 0, center_freq_hz: float = 0.0,
+                    scale: float = 1.0, cp: str = "normal"):
+    """(..., nsamples, 2) baseband -> (..., nsym, nsubc, 2) resource grid."""
+    nsym = nof_symbols_per_slot(cp)
     x = to_cplx(samples_pair)
-    cps = cp_lengths(dft_size, mu, slot_in_subframe)
+    cps = cp_lengths(dft_size, mu, slot_in_subframe, cp)
     offs = []
     t = 0
-    for l in range(SYMBOLS_PER_SLOT):
+    for l in range(nsym):
         offs.append(t + cps[l])
         t += cps[l] + dft_size
     syms = jnp.stack([jax.lax.dynamic_slice_in_dim(x, o, dft_size, axis=-1) for o in offs], axis=-2)
     bins = jnp.fft.fft(syms, axis=-1) / jnp.complex64(dft_size)
-    phase = jnp.asarray(_phase_compensation(dft_size, mu, slot_in_subframe, center_freq_hz))
-    bins = bins * jnp.conj(phase).reshape((SYMBOLS_PER_SLOT, 1))
+    phase = jnp.asarray(_phase_compensation(dft_size, mu, slot_in_subframe, center_freq_hz, cp))
+    bins = bins * jnp.conj(phase).reshape((nsym, 1))
     half = nsubc // 2
     grid = jnp.concatenate(
         [bins[..., dft_size - half:], bins[..., : nsubc - half]], axis=-1

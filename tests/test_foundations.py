@@ -172,3 +172,18 @@ class TestSlotPoint:
         u = SlotPoint(1, 43)
         assert u.subframe_index == (43 % 20) // 2
         assert u.slot_in_subframe == 43 % 2
+
+
+class TestMcs:
+    def test_mcs_tables(self):
+        from srsran_projectvtlmo_tpu.ran.mcs import mcs_to_modulation_and_rate
+        from srsran_projectvtlmo_tpu.ran.modulation import Modulation
+        assert mcs_to_modulation_and_rate(0) == (Modulation.QPSK, 120 / 1024)
+        assert mcs_to_modulation_and_rate(28)[0] == Modulation.QAM64
+        mod, r = mcs_to_modulation_and_rate(27, "qam256")
+        assert mod == Modulation.QAM256 and abs(r - 948 / 1024) < 1e-9
+        mod, r = mcs_to_modulation_and_rate(20, "qam256")
+        assert mod == Modulation.QAM256 and abs(r - 682.5 / 1024) < 1e-9
+        import pytest
+        with pytest.raises(ValueError):
+            mcs_to_modulation_and_rate(29)

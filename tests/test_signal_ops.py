@@ -203,3 +203,15 @@ def test_channel_estimator_cfo():
     out = estimate_channel_hop(jnp.asarray(pair), jnp.asarray(ref_pair), nof_rb, 2)
     got = float(np.asarray(out["cfo_hz"])[0])
     assert abs(got - cfo_true) < 20, f"cfo {got} vs {cfo_true}"
+
+
+def test_extended_cp_roundtrip():
+    rng = np.random.default_rng(13)
+    nsubc = 24 * 12
+    grid = (rng.normal(size=(12, nsubc)) + 1j * rng.normal(size=(12, nsubc))).astype(np.complex64)
+    s = ofdm.ofdm_modulate(jnp.asarray(np_to_pair(grid)), 512, 2, 0, 0.0, 1.0, "extended")
+    assert s.shape == (ofdm.slot_sample_count(512, 2, 0, "extended"), 2)
+    assert ofdm.slot_sample_count(512, 2, 0, "extended") == 12 * (512 + 128)
+    back = ofdm.ofdm_demodulate(s, nsubc, 512, 2, 0, 0.0, 1.0, "extended")
+    err = np.abs(pair_to_np(np.asarray(back)) - grid)
+    assert err.max() < 1e-3
