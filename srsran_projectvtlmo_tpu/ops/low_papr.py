@@ -59,8 +59,20 @@ def low_papr_sequence(u: int, v: int, alpha: float, m: int) -> np.ndarray:
     return (np.exp(1j * alpha * n) * base_sequence(u, v, m)).astype(np.complex64)
 
 
-def pucch_group_sequence(n_id: int, *, group_hopping: bool = False) -> tuple[int, int]:
-    """(u, v) for PUCCH without hopping: u = n_id mod 30, v = 0."""
-    if group_hopping:
-        raise NotImplementedError("group hopping not yet supported")
-    return n_id % 30, 0
+def pucch_group_sequence(n_id: int, *, group_hopping: bool = False,
+                         slot: int = 0, hop: int = 0) -> tuple[int, int]:
+    """(u, v) for PUCCH sequence selection (TS 38.211 Section 6.3.2.2.1).
+
+    Without hopping: u = n_id mod 30, v = 0.  With group hopping enabled,
+    f_gh(n_s, hop) comes from the Gold sequence with c_init = n_id // 30.
+    """
+    f_ss = n_id % 30
+    if not group_hopping:
+        return f_ss, 0
+    from . import prg as prg_mod
+
+    cinit = n_id // 30
+    off = 8 * (2 * slot + hop)
+    bits = prg_mod.gold_sequence_bits(cinit, off + 8)[off:off + 8]
+    f_gh = int((bits.astype(int) * (1 << np.arange(8))).sum()) % 30
+    return (f_gh + f_ss) % 30, 0

@@ -94,3 +94,12 @@ class TestFormat2:
         bits, ok = pucch.process_pucch_format2(jnp.asarray(cplx_pair(rx)[None]), cfg)
         assert bool(np.asarray(ok)[0]), f"UCI invalid for K={k}"
         np.testing.assert_array_equal(np.asarray(bits)[0], msg)
+
+
+def test_group_hopping_varies_per_slot():
+    from srsran_projectvtlmo_tpu.ops.low_papr import pucch_group_sequence
+    us = {pucch_group_sequence(301, group_hopping=True, slot=s)[0] for s in range(10)}
+    assert len(us) > 1  # hops across slots
+    assert all(0 <= u < 30 for u in us)
+    # Without hopping: deterministic.
+    assert pucch_group_sequence(301)[0] == 301 % 30
