@@ -113,3 +113,15 @@ class TestPrachOfdm:
         assert best[0] == 23
         expect_ta = delay * 839 / (fs / 1.25e3)
         assert abs(best[1] - expect_ta) <= 1.5, f"TA {best[1]} vs {expect_ta}"
+
+
+def test_prach_configuration_tables():
+    from srsran_projectvtlmo_tpu.ran.prach_config import prach_configuration
+    # TS 38.211 Table 6.3.3.2-2 index 0: format 0, x=16, y=1, subframe 1.
+    c = prach_configuration("fr1_paired", 0)
+    assert c.format == "zero" and c.x == 16 and c.y == 1 and c.subframes == (1,)
+    assert c.is_long
+    assert c.occasion_in_sfn(17) and not c.occasion_in_sfn(16)
+    # Unpaired table exists and has 256 entries worth of indices.
+    c2 = prach_configuration("fr1_unpaired", 87)
+    assert c2.format != "" and isinstance(c2.subframes, tuple)
