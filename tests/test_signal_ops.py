@@ -215,3 +215,21 @@ def test_extended_cp_roundtrip():
     back = ofdm.ofdm_demodulate(s, nsubc, 512, 2, 0, 0.0, 1.0, "extended")
     err = np.abs(pair_to_np(np.asarray(back)) - grid)
     assert err.max() < 1e-3
+
+
+def test_time_alignment_estimator():
+    from srsran_projectvtlmo_tpu.ops.time_alignment import estimate_time_alignment
+    npil = 96
+    scs = 30e3
+    stride = 2
+    tau = 0.4e-6
+    k = np.arange(npil)
+    lse = np.exp(-2j * np.pi * k * stride * scs * tau).astype(np.complex64)
+    pair = np.stack([lse.real, lse.imag], -1).astype(np.float32)
+    got = float(np.asarray(estimate_time_alignment(jnp.asarray(pair[None]), stride, scs))[0])
+    assert abs(got - tau) < 0.1e-6, f"TA {got} vs {tau}"
+    # Negative delay wraps correctly.
+    lse2 = np.exp(+2j * np.pi * k * stride * scs * tau).astype(np.complex64)
+    pair2 = np.stack([lse2.real, lse2.imag], -1).astype(np.float32)
+    got2 = float(np.asarray(estimate_time_alignment(jnp.asarray(pair2[None]), stride, scs))[0])
+    assert abs(got2 + tau) < 0.1e-6
