@@ -48,8 +48,84 @@ class PuschRxConfig(SchChainConfig):
     #: Use the Pallas TPU kernel for the LDPC decoder (bit-exact vs the XLA
     #: path; substantially faster on real hardware).
     use_pallas_decoder: bool = False
-    #: HARQ-ACK bits multiplexed on PUSCH (0-2 supported: puncturing mode).
+    #: UCI payload bits multiplexed on PUSCH (TS 38.212 Section 6.2.7: <=2 ACK
+    #: bits puncture the SCH, >2 and CSI are rate-matched around).
     nof_harq_ack_bits: int = 0
+    nof_csi_part1_bits: int = 0
+    #: Static CSI part 2 size; the dynamic part1->part2 protocol lives in
+    #: phy.pusch_uci and overrides this per size bucket.
+    nof_csi_part2_bits: int = 0
+    alpha_scaling: float = 1.0
+    beta_offset_harq_ack: float = 2.0
+    beta_offset_csi_part1: float = 2.0
+    beta_offset_csi_part2: float = 2.0
+
+    def ulsch_info(self, nof_csi_part2_bits: int | None = None):
+        """Per-field RE/bit budget (reference: lib/ran/pusch/ulsch_info.cpp:163)."""
+        from ..ran.ulsch_info import get_ulsch_information
+        from ..ran.modulation import bits_per_symbol as _bps
+
+        seg = self.segmentation
+        return get_ulsch_information(
+            nof_rb=self.nof_rb,
+            start_symbol_index=self.start_symbol,
+            nof_symbols=self.nof_ofdm_symbols,
+            dmrs_symbols=tuple(self.start_symbol + s for s in self.dmrs_symbols),
+            nof_layers=self.nof_layers,
+            qm=_bps(self.modulation),
+            target_code_rate=self.target_code_rate,
+            tbs=self.tbs,
+            sum_nof_cb_size=seg.nof_cb * seg.nof_bits_per_cb,
+            nof_harq_ack_bits=self.nof_harq_ack_bits,
+            nof_csi_part1_bits=self.nof_csi_part1_bits,
+            nof_csi_part2_bits=(self.nof_csi_part2_bits
+                                if nof_csi_part2_bits is None else nof_csi_part2_bits),
+            alpha_scaling=self.alpha_scaling,
+            beta_offset_harq_ack=self.beta_offset_harq_ack,
+            beta_offset_csi_part1=self.beta_offset_csi_part1,
+            beta_offset_csi_part2=self.beta_offset_csi_part2,
+        )
+
+    def demux_plan(self, nof_csi_part2_bits: int | None = None):
+        """Exact TS 38.212 Section 6.2.7 placement plan for this config."""
+        from ..ops.ulsch_demux import build_ulsch_demux_plan
+        from ..ran.modulation import bits_per_symbol as _bps
+
+        csi2 = (self.nof_csi_part2_bits
+                if nof_csi_part2_bits is None else nof_csi_part2_bits)
+        info = self.ulsch_info(csi2)
+        return build_ulsch_demux_plan(
+            nof_prb=self.nof_rb,
+            start_symbol_index=self.start_symbol,
+            nof_symbols=self.nof_ofdm_symbols,
+            dmrs_symbols=tuple(self.start_symbol + s for s in self.dmrs_symbols),
+            qm=_bps(self.modulation),
+            nof_layers=self.nof_layers,
+            nof_harq_ack_bits=self.nof_harq_ack_bits,
+            nof_enc_harq_ack_bits=info.nof_harq_ack_bits,
+            nof_harq_ack_rvd=info.nof_harq_ack_rvd,
+            nof_csi_part1_bits=self.nof_csi_part1_bits,
+            nof_enc_csi_part1_bits=info.nof_csi_part1_bits,
+            nof_csi_part2_bits=csi2,
+            nof_enc_csi_part2_bits=info.nof_csi_part2_bits,
+        ), info
+
+
+def decode_uci_field(llr_field, nof_payload_bits: int, qm: int):
+    """Decode one UCI field from its extracted (B, G_field) LLRs.
+
+    Returns (bits (B, K) uint8, metric (B,) float32): short-block ML detection
+    metric for K <= 11, CRC pass (as float) for the polar path
+    (reference: lib/phy/upper/channel_processors/uci/uci_decoder_impl.cpp:30-123).
+    """
+    from ..ops import short_block
+    from ..ops import uci as uci_mod
+
+    if nof_payload_bits <= 11:
+        return short_block.detect(llr_field, nof_payload_bits, qm)
+    bits, ok = uci_mod.uci_decode(
+        jnp.clip(llr_field, -127, 127).astype(jnp.int8), nof_payload_bits, qm)
+    return bits, ok.astype(jnp.float32)
 
 
 def build_pusch_rx_from_grid(cfg: PuschRxConfig):
@@ -59,7 +135,8 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     """
     seg = cfg.segmentation
     qm = bits_per_symbol(cfg.modulation)
-    es = cfg.cb_rate_match_sizes()
+    plan, info = cfg.demux_plan()
+    es = cfg.cb_rate_match_sizes(info.nof_ul_sch_bits)
     c = seg.nof_cb
     z = seg.lifting_size
     offsets = np.concatenate([[0], np.cumsum(es)]).astype(int)
@@ -80,11 +157,12 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
 
     nlayers = cfg.nof_layers
 
-    from ..ops.ulsch_demux import harq_ack_re_plan
+    from ..ops.ulsch_demux import placeholder_fix_signs
 
-    ack_res = harq_ack_re_plan(cfg.nof_harq_ack_bits, qm, cfg.nof_subc,
-                               cfg.data_symbols, cfg.dmrs_symbols)
-    ack_bit_idx = (ack_res[:, None] * qm + np.arange(qm)[None, :]).reshape(-1)
+    scr_bits = prg_mod.gold_sequence_bits(cfg.scrambling_cinit(), cfg.nof_codeword_bits)
+    ack_fix = placeholder_fix_signs(plan.ack_bit_idx, cfg.nof_harq_ack_bits, qm, scr_bits)
+    csi1_fix = placeholder_fix_signs(plan.csi1_bit_idx, cfg.nof_csi_part1_bits, qm, scr_bits)
+    csi2_fix = placeholder_fix_signs(plan.csi2_bit_idx, cfg.nof_csi_part2_bits, qm, scr_bits)
 
     @jax.jit
     def rx(grid, harq_buffer=None):
@@ -156,20 +234,34 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         llr = (llr.astype(jnp.int32) * jnp.asarray(descr_signs)[None, :])
         llr = jnp.clip(llr, -127, 127).astype(jnp.int8)
 
+        uci_out = {}
         if cfg.nof_harq_ack_bits:
-            from ..ops import short_block
-
-            ack_llr = llr[:, jnp.asarray(ack_bit_idx)]
-            ack_bits, ack_metric = short_block.detect(ack_llr, cfg.nof_harq_ack_bits, qm)
-            # Punctured positions carry no SCH information: zero their LLRs.
-            llr = llr.at[:, jnp.asarray(ack_bit_idx)].set(0)
+            ack_llr = llr[:, jnp.asarray(plan.ack_bit_idx)].astype(jnp.int32)
+            ack_llr = ack_llr * jnp.asarray(ack_fix, jnp.int32)
+            ack_bits, ack_metric = decode_uci_field(ack_llr, cfg.nof_harq_ack_bits, qm)
         else:
             ack_bits = jnp.zeros((b, 0), jnp.uint8)
             ack_metric = jnp.zeros((b,), jnp.float32)
+        if len(plan.punct_bit_idx):
+            # <=2-bit ACK punctures: those positions carry no SCH/CSI2 info
+            # (the reference zeroes the RE after ACK extraction, before the
+            # CSI part 2 and SCH demux: ulsch_demultiplex_impl.cpp:493/499).
+            llr = llr.at[:, jnp.asarray(plan.punct_bit_idx)].set(0)
+        if cfg.nof_csi_part1_bits:
+            csi1_llr = llr[:, jnp.asarray(plan.csi1_bit_idx)].astype(jnp.int32)
+            csi1_llr = csi1_llr * jnp.asarray(csi1_fix, jnp.int32)
+            uci_out["csi1_bits"], uci_out["csi1_metric"] = decode_uci_field(
+                csi1_llr, cfg.nof_csi_part1_bits, qm)
+        if cfg.nof_csi_part2_bits:
+            csi2_llr = llr[:, jnp.asarray(plan.csi2_bit_idx)].astype(jnp.int32)
+            csi2_llr = csi2_llr * jnp.asarray(csi2_fix, jnp.int32)
+            uci_out["csi2_bits"], uci_out["csi2_metric"] = decode_uci_field(
+                csi2_llr, cfg.nof_csi_part2_bits, qm)
+        sch_llr = llr[:, jnp.asarray(plan.sch_bit_idx)]
 
         bufs = []
         for j in range(c):
-            cb_llr = llr[:, offsets[j]:offsets[j + 1]]
+            cb_llr = sch_llr[:, offsets[j]:offsets[j + 1]]
             bufs.append(
                 rm.rate_dematch(cb_llr, seg.base_graph, z, seg.nof_filler_bits_per_cb,
                                 cfg.rv, es[j], qm)
@@ -214,6 +306,7 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             "harq_soft": soft,
             "harq_ack_bits": ack_bits,
             "harq_ack_metric": ack_metric,
+            **uci_out,
         }
 
     return rx

@@ -63,9 +63,14 @@ class SchChainConfig:
     def nof_codeword_bits(self) -> int:
         return self.nof_data_re * bits_per_symbol(self.modulation) * self.nof_layers
 
-    def cb_rate_match_sizes(self) -> list[int]:
-        """Per-CB rate-matched size E_j (TS 38.212 Section 5.4.2.1)."""
-        g = self.nof_codeword_bits
+    def cb_rate_match_sizes(self, g: int | None = None) -> list[int]:
+        """Per-CB rate-matched size E_j (TS 38.212 Section 5.4.2.1).
+
+        `g` defaults to the full codeword size; UL-SCH with UCI rate-matched
+        around passes the reduced G from `ran.ulsch_info`.
+        """
+        if g is None:
+            g = self.nof_codeword_bits
         c = self.segmentation.nof_cb
         nl, qm = self.nof_layers, bits_per_symbol(self.modulation)
         es = []

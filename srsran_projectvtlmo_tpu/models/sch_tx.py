@@ -21,11 +21,15 @@ from .sch_config import SchChainConfig
 
 
 @functools.lru_cache(maxsize=None)
-def build_sch_symbols_tx(cfg: SchChainConfig):
-    """Returns jitted fn: tb_bits (B, TBS) -> data symbols (B, nof_data_re*L) complex."""
+def build_sch_codeword_tx(cfg: SchChainConfig, g: int | None = None):
+    """Returns jitted fn: tb_bits (B, TBS) -> unscrambled codeword bits (B, G).
+
+    `g` defaults to the full codeword size; UL-SCH with UCI rate-matched
+    around passes the reduced G.
+    """
     seg = cfg.segmentation
     qm = bits_per_symbol(cfg.modulation)
-    es = cfg.cb_rate_match_sizes()
+    es = cfg.cb_rate_match_sizes(g)
     c, z, k = seg.nof_cb, seg.lifting_size, seg.nof_bits_per_cb
     kp = seg.nof_payload_bits_per_cb
     payload = kp - seg.cb_crc_bits
@@ -33,7 +37,6 @@ def build_sch_symbols_tx(cfg: SchChainConfig):
         rm.rate_match_plan(seg.base_graph, z, seg.nof_filler_bits_per_cb, cfg.rv, e, qm)
         for e in es
     ]
-    scramble = prg_mod.gold_sequence_bits(cfg.scrambling_cinit(), cfg.nof_codeword_bits)
     tb_crc_name = "CRC24A" if seg.tb_crc_bits == 24 else "CRC16"
 
     @jax.jit
@@ -51,7 +54,20 @@ def build_sch_symbols_tx(cfg: SchChainConfig):
         cw = ldpc_encode(cbs.reshape(b * c, k), seg.base_graph, z)
         cw = cw.reshape(b, c, -1)[:, :, 2 * z:]
         parts = [jnp.take(cw[:, j], jnp.asarray(plans[j]), axis=-1) for j in range(c)]
-        codeword = jnp.concatenate(parts, axis=-1) ^ jnp.asarray(scramble)[None, :]
+        return jnp.concatenate(parts, axis=-1)
+
+    return tx
+
+
+@functools.lru_cache(maxsize=None)
+def build_sch_symbols_tx(cfg: SchChainConfig):
+    """Returns jitted fn: tb_bits (B, TBS) -> data symbols (B, nof_data_re*L) complex."""
+    codeword_tx = build_sch_codeword_tx(cfg)
+    scramble = prg_mod.gold_sequence_bits(cfg.scrambling_cinit(), cfg.nof_codeword_bits)
+
+    @jax.jit
+    def tx(tb_bits):
+        codeword = codeword_tx(tb_bits) ^ jnp.asarray(scramble)[None, :]
         return modulate(codeword, cfg.modulation)
 
     return tx

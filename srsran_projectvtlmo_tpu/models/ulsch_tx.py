@@ -1,10 +1,11 @@
 """UL-SCH transmitter matching PuschRxConfig -- the UE-side emulator.
 
 Produces the waveform the PUSCH receiver expects: SCH codeword chain (via
-models.sch_tx) + DM-RS type 1 (full symbol, 2 CDM groups) + OFDM modulate.
-Used by loopback/BLER tests and benchmarks (the reference exercises its PUSCH
-Rx the same way, tests/integrationtests/phy/upper/channel_processors/
-pxsch_bler_test.cpp:332-458).
+models.sch_tx) multiplexed with encoded UCI per TS 38.212 Section 6.2.7
+(shared placement plan from ops.ulsch_demux), DM-RS type 1 (full symbol,
+2 CDM groups), OFDM modulate.  Used by loopback/BLER tests and benchmarks
+(the reference exercises its PUSCH Rx the same way,
+tests/integrationtests/phy/upper/channel_processors/pxsch_bler_test.cpp:332-458).
 """
 
 from __future__ import annotations
@@ -17,38 +18,67 @@ import numpy as np
 
 from ..ops.dmrs import dmrs_type1_sequence
 from ..ops import ofdm as ofdm_mod
+from ..ops import prg as prg_mod
+from ..ops import short_block
+from ..ops.modulation import modulate
+from ..ops.ulsch_demux import scramble_codeword_with_placeholders
+from ..ran.modulation import bits_per_symbol
 from .pusch_rx import PuschRxConfig
-from .sch_tx import build_sch_symbols_tx
+from .sch_tx import build_sch_codeword_tx
 
 
-def build_ulsch_tx_slot(cfg: PuschRxConfig):
-    """Returns a jitted fn: tb_bits (B, TBS) uint8 -> (grid_pair (B, 14, nsubc, 2),
-    samples_pair (B, nsamples, 2))."""
-    sch_tx = build_sch_symbols_tx(cfg)
-    from ..ran.modulation import bits_per_symbol
-    from ..ops.ulsch_demux import harq_ack_re_plan
-    from ..ops import short_block
-    from ..ops.modulation import modulate
-    from ..ops import prg as prg_mod2
+def _uci_field_encoder(nof_payload_bits: int, nof_enc_bits: int, qm: int):
+    """Returns a traced encoder bits (B, K) -> (B, G_field) for K <= 11.
 
-    qm = bits_per_symbol(cfg.modulation)
-    nof_ack = getattr(cfg, "nof_harq_ack_bits", 0)
-    ack_res = harq_ack_re_plan(nof_ack, qm, cfg.nof_subc,
-                               cfg.data_symbols, cfg.dmrs_symbols)
-    if len(ack_res):
-        # Precompute the full ACK codeword table (2^K x G bits), scrambled at
-        # the codeword positions, so the traced bits just gather a row.
-        scr_bits = prg_mod2.gold_sequence_bits(cfg.scrambling_cinit(),
-                                               cfg.nof_codeword_bits)
-        bit_idx = (ack_res[:, None] * qm + np.arange(qm)[None, :]).reshape(-1)
+    K <= 2 gathers from the 2^K placeholder-aware codeword table; 3 <= K <= 11
+    is the RM(32, K) basis matmul tiled cyclically (TS 38.212 Section 5.3.3).
+    """
+    if nof_payload_bits <= 2:
         table = np.stack([
             short_block.encode_host(
-                np.array([(m >> (nof_ack - 1 - i)) & 1 for i in range(nof_ack)],
-                         np.uint8), len(ack_res) * qm, qm) ^ scr_bits[bit_idx]
-            for m in range(1 << nof_ack)
+                np.array([(m >> (nof_payload_bits - 1 - i)) & 1
+                          for i in range(nof_payload_bits)], np.uint8),
+                nof_enc_bits, qm)
+            for m in range(1 << nof_payload_bits)
         ])
-        ack_weights = np.array([1 << (nof_ack - 1 - i) for i in range(nof_ack)],
-                               np.int32)
+        weights = np.array([1 << (nof_payload_bits - 1 - i)
+                            for i in range(nof_payload_bits)], np.int32)
+
+        def enc(bits):
+            idx = jnp.sum(bits.astype(jnp.int32) * jnp.asarray(weights), -1)
+            return jnp.take(jnp.asarray(table), idx, axis=0)
+
+        return enc
+    if nof_payload_bits <= 11:
+        basis = short_block.BASIS[:nof_payload_bits].astype(np.int32)
+        tile_idx = (np.arange(nof_enc_bits) % 32).astype(np.int32)
+
+        def enc(bits):
+            rm32 = jnp.matmul(bits.astype(jnp.int32), jnp.asarray(basis)) % 2
+            return jnp.take(rm32, jnp.asarray(tile_idx), axis=-1).astype(jnp.uint8)
+
+        return enc
+    raise NotImplementedError(
+        "device-side polar UCI encoding (K >= 12) not wired into the UE emulator")
+
+
+def build_ulsch_tx_slot(cfg: PuschRxConfig, nof_csi_part2_bits: int | None = None):
+    """Returns a jitted fn: (tb_bits (B, TBS), ack/csi1/csi2 bits) ->
+    (grid_pair (B[, L], 14, nsubc, 2), samples_pair)."""
+    qm = bits_per_symbol(cfg.modulation)
+    plan, info = cfg.demux_plan(nof_csi_part2_bits)
+    csi2_payload = (cfg.nof_csi_part2_bits
+                    if nof_csi_part2_bits is None else nof_csi_part2_bits)
+    sch_codeword_tx = build_sch_codeword_tx(cfg, info.nof_ul_sch_bits)
+    scr_bits = prg_mod.gold_sequence_bits(cfg.scrambling_cinit(), cfg.nof_codeword_bits)
+    mask_eff, force_one = scramble_codeword_with_placeholders(None, scr_bits, plan)
+
+    encoders = {}
+    for name, payload in (("csi1", cfg.nof_csi_part1_bits), ("csi2", csi2_payload),
+                          ("ack", cfg.nof_harq_ack_bits)):
+        if payload:
+            encoders[name] = _uci_field_encoder(
+                payload, len(plan.field_bit_idx(name)), qm)
 
     ref = np.stack([
         dmrs_type1_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id, cfg.nof_rb,
@@ -66,16 +96,19 @@ def build_ulsch_tx_slot(cfg: PuschRxConfig):
         occ[1, 1::2] = -1.0
 
     @jax.jit
-    def tx(tb_bits, ack_bits=None):
+    def tx(tb_bits, ack_bits=None, csi1_bits=None, csi2_bits=None):
         b = tb_bits.shape[0]
-        syms = sch_tx(tb_bits)
-        if len(ack_res) and ack_bits is not None:
-            # Gather the precomputed scrambled ACK codeword and overwrite
-            # the punctured REs.
-            idx = jnp.sum(ack_bits.astype(jnp.int32) * jnp.asarray(ack_weights), -1)
-            coded = jnp.take(jnp.asarray(table), idx, axis=0)
-            ack_syms = modulate(coded, cfg.modulation)
-            syms = syms.at[:, jnp.asarray(ack_res)].set(ack_syms)
+        cw = jnp.zeros((b, cfg.nof_codeword_bits), jnp.uint8)
+        cw = cw.at[:, jnp.asarray(plan.sch_bit_idx)].set(sch_codeword_tx(tb_bits))
+        # ACK scattered last: <=2-bit ACK punctures SCH/CSI2 positions.
+        for name, bits in (("csi1", csi1_bits), ("csi2", csi2_bits), ("ack", ack_bits)):
+            if name in encoders:
+                assert bits is not None, f"{name} payload bits required"
+                cw = cw.at[:, jnp.asarray(plan.field_bit_idx(name))].set(
+                    encoders[name](bits))
+        tx_bits = jnp.where(jnp.asarray(force_one), jnp.uint8(1),
+                            cw ^ jnp.asarray(mask_eff)[None, :])
+        syms = modulate(tx_bits, cfg.modulation)
         if nlayers == 1:
             layer_syms = syms[:, None, :]
         else:

@@ -7,71 +7,35 @@ set_csi_part2 :241).  Data-dependent sizes cannot live inside one jitted
 program, so the protocol runs as two device phases with a host decision point:
 
   phase A (one program): frontend (estimate, equalize, demap, descramble) ->
-      full codeword LLRs; extract + decode HARQ-ACK and CSI part 1.
+      full codeword LLRs; extract + decode HARQ-ACK and CSI part 1 (their
+      TS 38.212 Section 6.2.7 placement is independent of CSI part 2).
   host: csi2_size = part2_size_map[int(csi1 bits)]  (the FAPI adaptor's
       uci-part2 correspondence table).
-  phase B (one program per csi2-size bucket): zero all UCI positions in the
-      LLRs, extract + decode CSI part 2, rate-recover + LDPC-decode the SCH.
+  phase B (one program per csi2-size bucket): extract + decode CSI part 2,
+      gather the SCH positions for that bucket's placement plan, rate-recover
+      and LDPC-decode the SCH.
 
-All UCI fields use the scoped puncturing placement of ops/ulsch_demux.py.
+All placement comes from the exact plan in ops.ulsch_demux; encoded-bit
+budgets from ran.ulsch_info.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.pusch_rx import PuschRxConfig
-from ..ops import short_block
-from ..ops import uci as uci_mod
-from ..ops.ulsch_demux import harq_ack_re_plan
+from ..models.pusch_rx import PuschRxConfig, decode_uci_field
+from ..ops.ulsch_demux import placeholder_fix_signs
 from ..ran.modulation import bits_per_symbol
-
-
-def csi1_re_plan(cfg: PuschRxConfig, nof_csi1_bits: int) -> np.ndarray:
-    """CSI part 1 REs: same strided scheme as ACK, on the next data symbols."""
-    qm = bits_per_symbol(cfg.modulation)
-    ack = harq_ack_re_plan(cfg.nof_harq_ack_bits, qm, cfg.nof_subc,
-                           cfg.data_symbols, cfg.dmrs_symbols)
-    taken = set(ack.tolist())
-    nof_re = max(int(np.ceil(2.0 * nof_csi1_bits * 4 / qm)), 1)
-    out = []
-    for i in range(cfg.nof_data_re):
-        if i not in taken:
-            out.append(i)
-            if len(out) == nof_re:
-                break
-    return np.asarray(out, dtype=np.int64)
-
-
-def csi2_re_plan(cfg: PuschRxConfig, nof_csi1_bits: int, nof_csi2_bits: int) -> np.ndarray:
-    qm = bits_per_symbol(cfg.modulation)
-    ack = harq_ack_re_plan(cfg.nof_harq_ack_bits, qm, cfg.nof_subc,
-                           cfg.data_symbols, cfg.dmrs_symbols)
-    csi1 = csi1_re_plan(cfg, nof_csi1_bits)
-    taken = set(ack.tolist()) | set(csi1.tolist())
-    nof_re = max(int(np.ceil(2.0 * nof_csi2_bits * 4 / qm)), 1)
-    out = []
-    for i in range(cfg.nof_data_re):
-        if i not in taken:
-            out.append(i)
-            if len(out) == nof_re:
-                break
-    return np.asarray(out, dtype=np.int64)
-
-
-def _bit_idx(res: np.ndarray, qm: int) -> np.ndarray:
-    return (res[:, None] * qm + np.arange(qm)[None, :]).reshape(-1)
 
 
 @dataclass(frozen=True)
 class PuschUciConfig:
+    #: rx.nof_harq_ack_bits / rx.nof_csi_part1_bits hold the phase-A payloads.
     rx: PuschRxConfig
-    nof_csi1_bits: int
     #: part2_size_map[value(csi1 bits)] -> nof csi2 bits (0 = absent).
     part2_size_map: tuple[int, ...]
 
@@ -81,28 +45,51 @@ class PuschUciProcessor:
 
     def __init__(self, cfg: PuschUciConfig):
         self.cfg = cfg
-        qm = bits_per_symbol(cfg.rx.modulation)
+        rx = cfg.rx
+        qm = bits_per_symbol(rx.modulation)
         self._qm = qm
-        self._csi1_bits_idx = _bit_idx(csi1_re_plan(cfg.rx, cfg.nof_csi1_bits), qm)
-        # Phase A: reuse the standard front half by building the no-decode rx
-        # (we run the full rx program but only consume its LLRs would be
-        # wasteful; instead build a dedicated frontend).
-        self._frontend = _build_frontend(cfg.rx)
+        # ACK and CSI1 placement is CSI2-independent: plan with csi2 = 0.
+        plan, _ = rx.demux_plan(0)
+        from ..ops import prg as prg_mod
+
+        scr = prg_mod.gold_sequence_bits(rx.scrambling_cinit(), rx.nof_codeword_bits)
+        self._scr = scr
+        self._ack_idx = plan.ack_bit_idx
+        self._ack_fix = placeholder_fix_signs(plan.ack_bit_idx, rx.nof_harq_ack_bits,
+                                              qm, scr)
+        self._csi1_idx = plan.csi1_bit_idx
+        self._csi1_fix = placeholder_fix_signs(plan.csi1_bit_idx,
+                                               rx.nof_csi_part1_bits, qm, scr)
+        self._frontend = _build_frontend(rx)
+        self._phase_a = self._build_phase_a()
         self._phase_b = {}
+
+    def _build_phase_a(self):
+        rx = self.cfg.rx
+
+        @jax.jit
+        def phase_a(grid):
+            llr = self._frontend(grid)
+            out = {"llr": llr}
+            if rx.nof_harq_ack_bits:
+                ack = llr[:, jnp.asarray(self._ack_idx)].astype(jnp.int32)
+                ack = ack * jnp.asarray(self._ack_fix, jnp.int32)
+                out["ack_bits"], out["ack_metric"] = decode_uci_field(
+                    ack, rx.nof_harq_ack_bits, self._qm)
+            csi1 = llr[:, jnp.asarray(self._csi1_idx)].astype(jnp.int32)
+            csi1 = csi1 * jnp.asarray(self._csi1_fix, jnp.int32)
+            out["csi1_bits"], out["csi1_metric"] = decode_uci_field(
+                csi1, rx.nof_csi_part1_bits, self._qm)
+            return out
+
+        return phase_a
 
     def process(self, grid_pair):
         cfg = self.cfg
-        llr = self._frontend(grid_pair)  # (B, G) int8, descrambled
-        csi1_llr = llr[:, jnp.asarray(self._csi1_bits_idx)]
-        if cfg.nof_csi1_bits <= 11:
-            csi1_bits, csi1_metric = short_block.detect(csi1_llr, cfg.nof_csi1_bits, self._qm)
-            csi1_valid = csi1_metric > 0.25
-        else:
-            csi1_bits, csi1_valid = uci_mod.uci_decode(csi1_llr, cfg.nof_csi1_bits, self._qm)
-
+        a = self._phase_a(grid_pair)
         # Host decision point: CSI part 2 size from the decoded part 1.
-        csi1_np = np.asarray(csi1_bits)
-        weights = 1 << np.arange(cfg.nof_csi1_bits - 1, -1, -1)
+        csi1_np = np.asarray(a["csi1_bits"])
+        weights = 1 << np.arange(cfg.rx.nof_csi_part1_bits - 1, -1, -1)
         values = (csi1_np * weights).sum(-1)
         sizes = [cfg.part2_size_map[int(v)] for v in values]
         assert len(set(sizes)) == 1, "mixed csi2 sizes in one batch not supported yet"
@@ -110,12 +97,15 @@ class PuschUciProcessor:
 
         phase_b = self._phase_b.get(csi2_size)
         if phase_b is None:
-            phase_b = _build_phase_b(cfg, csi2_size)
+            phase_b = _build_phase_b(cfg.rx, csi2_size, self._scr)
             self._phase_b[csi2_size] = phase_b
-        out = phase_b(llr)
+        out = phase_b(a["llr"])
         out["csi1_bits"] = csi1_np
-        out["csi1_valid"] = np.asarray(csi1_valid)
+        out["csi1_valid"] = np.asarray(a["csi1_metric"]) > 0.25
         out["csi2_size"] = csi2_size
+        if cfg.rx.nof_harq_ack_bits:
+            out["harq_ack_bits"] = np.asarray(a["ack_bits"])
+            out["harq_ack_metric"] = np.asarray(a["ack_metric"])
         return out
 
 
@@ -165,20 +155,14 @@ def _build_frontend(cfg: PuschRxConfig):
     return frontend
 
 
-def _build_phase_b(cfg: PuschUciConfig, csi2_size: int):
-    rx = cfg.rx
+def _build_phase_b(rx: PuschRxConfig, csi2_size: int, scr: np.ndarray):
     qm = bits_per_symbol(rx.modulation)
     seg = rx.segmentation
-    es = rx.cb_rate_match_sizes()
+    plan, info = rx.demux_plan(csi2_size)
+    es = rx.cb_rate_match_sizes(info.nof_ul_sch_bits)
     c, z = seg.nof_cb, seg.lifting_size
     offsets = np.concatenate([[0], np.cumsum(es)]).astype(int)
-
-    ack = harq_ack_re_plan(rx.nof_harq_ack_bits, qm, rx.nof_subc,
-                           rx.data_symbols, rx.dmrs_symbols)
-    csi1 = csi1_re_plan(rx, cfg.nof_csi1_bits)
-    csi2 = csi2_re_plan(rx, cfg.nof_csi1_bits, csi2_size) if csi2_size else np.empty(0, np.int64)
-    zero_idx = _bit_idx(np.concatenate([ack, csi1, csi2]).astype(np.int64), qm)
-    csi2_idx = _bit_idx(csi2, qm) if csi2_size else np.empty(0, np.int64)
+    csi2_fix = placeholder_fix_signs(plan.csi2_bit_idx, csi2_size, qm, scr)
 
     from ..ops.ldpc import rate_matching as rm
     from ..ops.crc import crc_check_device
@@ -187,11 +171,19 @@ def _build_phase_b(cfg: PuschUciConfig, csi2_size: int):
     @jax.jit
     def phase_b(llr):
         b = llr.shape[0]
-        csi2_llr = llr[:, jnp.asarray(csi2_idx)] if csi2_size else None
-        llr = llr.at[:, jnp.asarray(zero_idx)].set(0)
+        if len(plan.punct_bit_idx):
+            llr = llr.at[:, jnp.asarray(plan.punct_bit_idx)].set(0)
+        result = {}
+        if csi2_size:
+            csi2_llr = llr[:, jnp.asarray(plan.csi2_bit_idx)].astype(jnp.int32)
+            csi2_llr = csi2_llr * jnp.asarray(csi2_fix, jnp.int32)
+            bits, metric = decode_uci_field(csi2_llr, csi2_size, qm)
+            result["csi2_bits"] = bits
+            result["csi2_valid"] = metric > 0.25
+        sch_llr = llr[:, jnp.asarray(plan.sch_bit_idx)]
         bufs = []
         for j in range(c):
-            bufs.append(rm.rate_dematch(llr[:, offsets[j]:offsets[j + 1]],
+            bufs.append(rm.rate_dematch(sch_llr[:, offsets[j]:offsets[j + 1]],
                                         seg.base_graph, z, seg.nof_filler_bits_per_cb,
                                         rx.rv, es[j], qm))
         soft = jnp.stack(bufs, axis=1)
@@ -207,16 +199,8 @@ def _build_phase_b(cfg: PuschUciConfig, csi2_size: int):
         tb_and_crc = payload[:, : rx.tbs + seg.tb_crc_bits]
         crc_name = "CRC24A" if seg.tb_crc_bits == 24 else "CRC16"
         tb_ok = crc_check_device(tb_and_crc, crc_name)
-        result = {"tb_crc_ok": tb_ok, "tb_bits": tb_and_crc[:, : rx.tbs]}
-        if csi2_size:
-            if csi2_size <= 11:
-                bits, metric = short_block.detect(csi2_llr, csi2_size, qm)
-                result["csi2_bits"] = bits
-                result["csi2_valid"] = metric > 0.25
-            else:
-                bits, ok = uci_mod.uci_decode(csi2_llr, csi2_size, qm)
-                result["csi2_bits"] = bits
-                result["csi2_valid"] = ok
+        result["tb_crc_ok"] = tb_ok
+        result["tb_bits"] = tb_and_crc[:, : rx.tbs]
         return result
 
     return phase_b
