@@ -59,6 +59,27 @@ class PuschRxConfig(SchChainConfig):
     beta_offset_harq_ack: float = 2.0
     beta_offset_csi_part1: float = 2.0
     beta_offset_csi_part2: float = 2.0
+    #: Estimate CFO from DM-RS phase drift and derotate the data symbols'
+    #: channel estimates (reference: port_channel_estimator_average_impl.cpp
+    #: :245-253 compensate_cfo). Needs >= 2 DM-RS symbols to engage.
+    compensate_cfo: bool = True
+
+    @property
+    def scs_hz(self) -> float:
+        return 15e3 * (1 << self.numerology)
+
+    def symbol_epochs_s(self) -> tuple[float, ...]:
+        """Start time (s) of each slot symbol's useful part (CP excluded)."""
+        from ..ops.ofdm import cp_lengths
+
+        cps = cp_lengths(self.dft_size, self.numerology,
+                         self.slot % (1 << self.numerology))
+        fs = self.dft_size * self.scs_hz
+        t, out = 0, []
+        for cp_len in cps:
+            out.append((t + cp_len) / fs)
+            t += cp_len + self.dft_size
+        return tuple(out)
 
     def ulsch_info(self, nof_csi_part2_bits: int | None = None):
         """Per-field RE/bit budget (reference: lib/ran/pusch/ulsch_info.cpp:163)."""
@@ -155,7 +176,26 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     data_syms = np.asarray(cfg.data_symbols, dtype=np.int32)
     dmrs_syms = np.asarray(cfg.dmrs_symbols, dtype=np.int32)
 
+    epochs = cfg.symbol_epochs_s()
+    dmrs_epochs = tuple(epochs[cfg.start_symbol + int(s)] for s in cfg.dmrs_symbols)
+    data_epochs = np.asarray(
+        [epochs[cfg.start_symbol + int(s)] for s in cfg.data_symbols], np.float32)
+
     nlayers = cfg.nof_layers
+
+    def _cfo_rotate(h, cfo_b):
+        """Rotate per-data-symbol channel estimates by the estimated CFO.
+
+        h: (b, nsym_d, ..., 2); cfo_b: (b,). h_l *= exp(j 2 pi t_l cfo).
+        """
+        ang = (2.0 * np.pi) * cfo_b[:, None] * jnp.asarray(data_epochs)[None, :]
+        cr = jnp.cos(ang)
+        ci = jnp.sin(ang)
+        shape = (h.shape[0], h.shape[1]) + (1,) * (h.ndim - 3)
+        cr = cr.reshape(shape)
+        ci = ci.reshape(shape)
+        hr, hi = h[..., 0], h[..., 1]
+        return jnp.stack([hr * cr - hi * ci, hr * ci + hi * cr], axis=-1)
 
     from ..ops.ulsch_demux import placeholder_fix_signs
 
@@ -174,7 +214,8 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
 
         if nlayers == 1:
             est = jax.vmap(
-                lambda g: estimate_channel_hop(g, jnp.asarray(ref_pair), cfg.nof_rb, 2),
+                lambda g: estimate_channel_hop(g, jnp.asarray(ref_pair), cfg.nof_rb, 2,
+                                               cfg.scs_hz, dmrs_epochs),
                 in_axes=1, out_axes=0,
             )(rx_pilots)
             ce = est["ce_pair"]  # (P, B, nsubc, 2)
@@ -185,6 +226,8 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                 jnp.transpose(ce, (1, 0, 2, 3))[:, None, :, :, :],
                 (b, len(data_syms), cfg.nof_rx_ports, cfg.nof_subc, 2),
             )
+            if cfg.compensate_cfo and len(dmrs_epochs) >= 2:
+                h = _cfo_rotate(h, jnp.mean(est["cfo_hz"], axis=0))
             h = jnp.transpose(h, (0, 1, 3, 2, 4)).reshape(b, nre, cfg.nof_rx_ports, 2)
             nvar_port = jnp.transpose(noise, (1, 0))  # (B, P)
             eq, eq_nvar = equalize_mmse_1xn(y, h, nvar_port)
@@ -207,10 +250,14 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             despread_pair = from_cplx(despread)
 
             def est_layer_port(g):
-                return estimate_channel_hop(g, ones[0, 0], cfg.nof_rb, 4)
+                return estimate_channel_hop(g, ones[0, 0], cfg.nof_rb, 4,
+                                            cfg.scs_hz, dmrs_epochs)
 
+            # vmap over layers (axis 0) and rx ports (axis 1 after the outer
+            # vmap strips L): per-(layer, port) estimates with the DM-RS
+            # symbol axis intact inside the estimator.
             est = jax.vmap(
-                jax.vmap(est_layer_port, in_axes=2, out_axes=0), in_axes=0, out_axes=0
+                jax.vmap(est_layer_port, in_axes=1, out_axes=0), in_axes=0, out_axes=0
             )(despread_pair)
             ce = est["ce_pair"]  # (L, P, B, nsubc, 2)
             noise = jnp.mean(est["noise_var"], axis=0)  # (P, B)
@@ -220,6 +267,8 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                 jnp.transpose(ce, (2, 1, 3, 0, 4))[:, None],  # (B, 1, P, nsubc, L, 2)
                 (b, len(data_syms), cfg.nof_rx_ports, cfg.nof_subc, nlayers, 2),
             )
+            if cfg.compensate_cfo and len(dmrs_epochs) >= 2:
+                h = _cfo_rotate(h, jnp.mean(est["cfo_hz"], axis=(0, 1)))
             h = jnp.transpose(h, (0, 1, 3, 2, 4, 5)).reshape(
                 b, nre, cfg.nof_rx_ports, nlayers, 2
             )
@@ -259,13 +308,19 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                 csi2_llr, cfg.nof_csi_part2_bits, qm)
         sch_llr = llr[:, jnp.asarray(plan.sch_bit_idx)]
 
-        bufs = []
+        # Batch codeblocks with equal rate-match size into one dematch gather
+        # (typically <= 2 groups): CBs are a batch axis, not a loop.
+        groups: dict[int, list[int]] = {}
         for j in range(c):
-            cb_llr = sch_llr[:, offsets[j]:offsets[j + 1]]
-            bufs.append(
-                rm.rate_dematch(cb_llr, seg.base_graph, z, seg.nof_filler_bits_per_cb,
-                                cfg.rv, es[j], qm)
-            )
+            groups.setdefault(int(es[j]), []).append(j)
+        bufs = [None] * c
+        for e_val, js in groups.items():
+            cb_llr = jnp.stack(
+                [sch_llr[:, offsets[j]:offsets[j + 1]] for j in js], axis=1)
+            out = rm.rate_dematch(cb_llr, seg.base_graph, z,
+                                  seg.nof_filler_bits_per_cb, cfg.rv, e_val, qm)
+            for i, j in enumerate(js):
+                bufs[j] = out[:, i]
         soft = jnp.stack(bufs, axis=1)  # (B, C, N)
         if harq_buffer is not None:
             soft = rm.harq_combine(harq_buffer, soft)

@@ -41,13 +41,14 @@ def rc_filter(nof_rb: int, stride: int) -> np.ndarray:
     return (taps / taps.sum()).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def estimate_channel_hop(
     rx_pilots_pair,
     ref_pilots_pair,
     nof_rb: int,
     stride: int = 2,
     scs_hz: float = 30e3,
+    dmrs_epochs_s: tuple[float, ...] | None = None,
 ):
     """Estimate one hop's channel for one (port, layer) from its pilots.
 
@@ -56,6 +57,10 @@ def estimate_channel_hop(
       ref_pilots_pair: (nsym_dmrs, npilots, 2) or (npilots, 2) reference pilots.
       nof_rb: allocation size in RBs.
       stride: pilot spacing in subcarriers (2 for DM-RS type 1).
+      dmrs_epochs_s: start times (seconds) of the hop's DM-RS symbols; enables
+        exact CFO estimation over non-adjacent DM-RS spacing and CFO
+        derotation of the per-symbol LSEs before averaging
+        (reference: port_channel_estimator_average_impl.cpp:236-253).
 
     Returns dict with:
       ce_pair: (..., nsubc, 2) channel estimate on every subcarrier,
@@ -69,10 +74,32 @@ def estimate_channel_hop(
     if r.ndim < y.ndim - 1:
         r = r[None]
 
-    # LSE per pilot, averaged over the hop's DM-RS symbols.
+    # LSE per pilot.
     lse_sym = y * jnp.conj(r) / (jnp.abs(r) ** 2)
-    lse = jnp.mean(lse_sym, axis=-2)  # (..., npilots)
     nsym = rx_pilots_pair.shape[-3]
+
+    # CFO from the phase drift between DM-RS symbols, then derotate the
+    # per-symbol LSEs to a common epoch before averaging
+    # (reference: port_channel_estimator_average_impl.cpp:236-253).
+    if nsym >= 2:
+        have_epochs = (dmrs_epochs_s is not None and len(dmrs_epochs_s) == nsym)
+        if have_epochs:
+            epochs = np.asarray(dmrs_epochs_s, np.float32)
+        else:
+            # Fallback: assume adjacent symbols, one OFDM symbol (~1/scs) apart.
+            epochs = np.arange(nsym, dtype=np.float32) / np.float32(scs_hz)
+        dt = float(epochs[-1] - epochs[0]) / (nsym - 1)
+        xcorr = jnp.sum(lse_sym[..., 1:, :] * jnp.conj(lse_sym[..., :-1, :]),
+                        axis=(-1, -2))
+        cfo_hz = jnp.angle(xcorr) / (2.0 * jnp.pi * dt)
+        if have_epochs:
+            # Derotate per-symbol LSEs to epoch 0 before averaging.
+            rot = jnp.exp(-2j * jnp.pi * cfo_hz[..., None] * jnp.asarray(epochs))
+            lse_sym = lse_sym * rot[..., None]
+    else:
+        cfo_hz = jnp.zeros(rx_pilots_pair.shape[:-3], jnp.float32)
+
+    lse = jnp.mean(lse_sym, axis=-2)  # (..., npilots)
 
     # Raised-cosine smoothing with edge padding (virtual pilots simplified to
     # nearest-pilot replication; the reference extrapolates magnitude/phase).
@@ -107,16 +134,6 @@ def estimate_channel_hop(
 
     rsrp = jnp.mean(jnp.abs(smoothed) ** 2, axis=-1)
     epre = jnp.mean(jnp.abs(y) ** 2, axis=(-1, -2))
-
-    # CFO: average phase rotation between consecutive DM-RS symbols of the hop
-    # (reference: port_channel_estimator_average_impl CFO branch; requires the
-    # caller to scale by the actual symbol spacing -- here assumed adjacent
-    # symbols, one OFDM symbol duration 1/(scs*(1+cp)) ~ 1/scs apart).
-    if nsym >= 2:
-        xcorr = jnp.sum(lse_sym[..., 1:, :] * jnp.conj(lse_sym[..., :-1, :]), axis=(-1, -2))
-        cfo_hz = jnp.angle(xcorr) * scs_hz / (2.0 * jnp.pi)
-    else:
-        cfo_hz = jnp.zeros(noise_var.shape, jnp.float32)
 
     return {
         "ce_pair": from_cplx(ce),

@@ -140,6 +140,102 @@ def _make_kernel(bg: BaseGraph, z: int, nof_iterations: int, scaling_factor: flo
     return kernel, g
 
 
+def _make_kernel_delta(bg: BaseGraph, z: int, nof_iterations: int,
+                       scaling_factor: float, b_tile: int):
+    """v1 kernel with delta-roll domain tracking: each column's soft bits stay
+    stored in the check-domain of the LAST row that touched them, so every
+    edge needs ONE rotation (the delta to this row's domain) instead of a
+    roll-in + roll-back pair. Bit-exact: rotations are exact permutations and
+    the arithmetic is untouched.
+
+    To keep the fori_loop body identical across iterations, the init rolls
+    each column into its schedule-final domain (the shift of the last row in
+    the layer order touching it), and the epilogue rolls back to domain 0.
+    """
+    g, rows = _row_edges(bg, z)
+    nv, m = g.n_full, g.m
+
+    # Schedule-final domain per column = shift of the last row touching it.
+    final_dom = [0] * nv
+    for edges in rows:
+        for c, s in edges:
+            final_dom[c] = s
+
+    def kernel(llr_ref, out_ref, soft, min1, min2, amin, signs, sprod):
+        soft[0] = jnp.zeros((b_tile, z), jnp.int32)
+        soft[1] = jnp.zeros((b_tile, z), jnp.int32)
+        for c in range(2, nv):
+            x = llr_ref[c - 2].astype(jnp.int32)
+            soft[c] = pltpu.roll(x, (z - final_dom[c]) % z, axis=1)
+        min1[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        min2[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        amin[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        signs[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        sprod[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+
+        def iteration(_, carry):
+            # Trace-time rotation-domain bookkeeping; starts each iteration
+            # at the schedule-final domains (loop-invariant by construction).
+            cur = list(final_dom)
+            for r, edges in enumerate(rows):
+                old_m1 = min1[r]
+                old_m2 = min2[r]
+                old_am = amin[r]
+                old_sb = signs[r]
+                old_sp = sprod[r]
+
+                v2cs = []
+                new_m1 = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
+                new_m2 = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
+                new_am = jnp.zeros((b_tile, z), jnp.int32)
+                new_sp = jnp.zeros((b_tile, z), jnp.int32)
+                new_sb = jnp.zeros((b_tile, z), jnp.int32)
+                for e, (c, s) in enumerate(edges):
+                    delta = (cur[c] - s) % z
+                    soft_chk = pltpu.roll(soft[c], delta, axis=1) if delta else soft[c]
+                    old_sign_e = jnp.bitwise_and(old_sb >> e, 1)
+                    old_mag = jnp.where(old_am == e, old_m2, old_m1)
+                    c2v_old = jnp.where((old_sp ^ old_sign_e) == 1, -old_mag, old_mag)
+                    v2c = _sat_sub(soft_chk, c2v_old)
+                    v2cs.append(v2c)
+
+                    absv = jnp.abs(v2c)
+                    sign = (v2c < 0).astype(jnp.int32)
+                    is_min = absv < new_m1
+                    new_m2 = jnp.where(is_min, new_m1, jnp.minimum(new_m2, absv))
+                    new_am = jnp.where(is_min, e, new_am)
+                    new_m1 = jnp.where(is_min, absv, new_m1)
+                    new_sp = new_sp ^ sign
+                    new_sb = new_sb | (sign << e)
+
+                s_m1 = _scale(new_m1, scaling_factor)
+                s_m2 = _scale(new_m2, scaling_factor)
+
+                for e, (c, s) in enumerate(edges):
+                    v2c = v2cs[e]
+                    sign_e = jnp.bitwise_and(new_sb >> e, 1)
+                    mag = jnp.where(new_am == e, s_m2, s_m1)
+                    c2v = jnp.where((new_sp ^ sign_e) == 1, -mag, mag)
+                    soft[c] = _promotion_sum(c2v, v2c)  # stays in row domain
+                    cur[c] = s
+
+                min1[r] = s_m1
+                min2[r] = s_m2
+                amin[r] = new_am
+                signs[r] = new_sb
+                sprod[r] = new_sp
+            # By schedule construction cur == final_dom here.
+            return carry
+
+        jax.lax.fori_loop(0, nof_iterations, iteration, 0)
+
+        for c in range(g.kb):
+            back = pltpu.roll(soft[c], final_dom[c] % z, axis=1) if final_dom[c] % z else soft[c]
+            out_ref[c] = jnp.clip(back, -LLR_INFTY, LLR_INFTY).astype(jnp.int8)
+
+    return kernel, g
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def ldpc_decode_pallas(
     llrs,
@@ -185,6 +281,51 @@ def ldpc_decode_pallas(
         interpret=interpret,
     )(x)
     # (KB, B, Z) -> (B, K)
+    soft_info = jnp.transpose(out, (1, 0, 2)).reshape(bp, g.kb * z)[:b]
+    hard = (soft_info <= 0).astype(jnp.uint8)
+    return hard, soft_info
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def ldpc_decode_pallas_v3(
+    llrs,
+    bg: BaseGraph,
+    z: int,
+    nof_iterations: int = 6,
+    scaling_factor: float = 0.8,
+    b_tile: int = DEFAULT_B_TILE,
+):
+    """Delta-roll variant of the unrolled kernel (half the lane rotations);
+    bit-exact vs ldpc_decode_pallas / ops.ldpc.decode.ldpc_decode."""
+    kernel, g = _make_kernel_delta(bg, z, nof_iterations, float(scaling_factor),
+                                   b_tile)
+    b = llrs.shape[0]
+    pad = (-b) % b_tile
+    if pad:
+        llrs = jnp.concatenate([llrs, jnp.zeros((pad, llrs.shape[1]), llrs.dtype)], 0)
+    bp = llrs.shape[0]
+    x = jnp.transpose(llrs.reshape(bp, g.n_full - 2, z), (1, 0, 2))
+
+    dev = jax.devices()[0]
+    interpret = not (dev.platform == "tpu" or "TPU" in str(dev))
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // b_tile,),
+        in_specs=[pl.BlockSpec((g.n_full - 2, b_tile, z), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((g.kb, b_tile, z), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g.kb, bp, z), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((g.n_full, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x)
     soft_info = jnp.transpose(out, (1, 0, 2)).reshape(bp, g.kb * z)[:b]
     hard = (soft_info <= 0).astype(jnp.uint8)
     return hard, soft_info

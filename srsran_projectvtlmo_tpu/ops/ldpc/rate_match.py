@@ -88,16 +88,42 @@ def rate_dematch_plan(bg: BaseGraph, z: int, nof_filler: int, rv: int, e: int, q
     return sel, filler
 
 
-def rate_dematch(llrs, bg: BaseGraph, z: int, nof_filler: int, rv: int, e: int, qm: int):
-    """Rx: (B, E) int8 LLRs -> (B, N) int8 circular-buffer LLRs.
+@functools.lru_cache(maxsize=None)
+def rate_dematch_gather_plan(bg: BaseGraph, z: int, nof_filler: int, rv: int,
+                             e: int, qm: int):
+    """Inverse (gather) tables for rate recovery: (src (k_max, N) int32 with
+    -1 = no contribution, filler_mask (N,)).
 
-    Repeated positions accumulate (saturated at +/-LLR_MAX); filler positions are
-    fixed to +LLR_INFTY (bit surely 0); unseen positions are 0.
+    TPU scatters are slow; a dematch is at most ceil(E/N') gathers (k_max is
+    1 for code rates above 1/3, 2-3 with repetition), each a fast
+    vectorized take.
     """
     sel, filler = rate_dematch_plan(bg, z, nof_filler, rv, e, qm)
     n = len(filler)
-    acc = jnp.zeros(llrs.shape[:-1] + (n,), jnp.int32)
-    acc = acc.at[..., jnp.asarray(sel)].add(llrs.astype(jnp.int32))
+    counts = np.bincount(sel, minlength=n)
+    k_max = max(1, int(counts.max()))
+    src = np.full((k_max, n), -1, np.int32)
+    fill = np.zeros(n, np.int64)
+    for i, s in enumerate(sel):
+        src[fill[s], s] = i
+        fill[s] += 1
+    return src, filler
+
+
+def rate_dematch(llrs, bg: BaseGraph, z: int, nof_filler: int, rv: int, e: int, qm: int):
+    """Rx: (..., E) int8 LLRs -> (..., N) int8 circular-buffer LLRs.
+
+    Repeated positions accumulate (saturated at +/-LLR_MAX); filler positions are
+    fixed to +LLR_INFTY (bit surely 0); unseen positions are 0. Leading axes
+    (batch, codeblock) are free batch dims.
+    """
+    src, filler = rate_dematch_gather_plan(bg, z, nof_filler, rv, e, qm)
+    acc = jnp.zeros(llrs.shape[:-1] + (len(filler),), jnp.int32)
+    x = llrs.astype(jnp.int32)
+    for k in range(src.shape[0]):
+        idx = jnp.asarray(np.maximum(src[k], 0))
+        mask = jnp.asarray(src[k] >= 0)
+        acc = acc + jnp.where(mask, x[..., idx], 0)
     acc = jnp.clip(acc, -LLR_MAX, LLR_MAX)
     acc = jnp.where(jnp.asarray(filler), LLR_INFTY, acc)
     return acc.astype(jnp.int8)

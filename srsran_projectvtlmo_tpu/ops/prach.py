@@ -159,8 +159,9 @@ def prach_detect(rx_freq_pair, cfg: PrachDetectorConfig, oversampling: int = 2):
     while nfft < l * oversampling:
         nfft <<= 1
     metric, argpeak, peak = _detect_jit(rx_freq_pair, cfg, nfft)
-    metric = np.asarray(metric)
-    argpeak = np.asarray(argpeak)
+    from ..utils.xfer import to_host
+    metric = to_host(metric)
+    argpeak = to_host(argpeak)
     roots, first, spr = cfg.plan
 
     results = []

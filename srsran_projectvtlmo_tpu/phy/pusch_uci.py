@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.xfer import to_host
+
 from ..models.pusch_rx import PuschRxConfig, decode_uci_field
 from ..ops.ulsch_demux import placeholder_fix_signs
 from ..ran.modulation import bits_per_symbol
@@ -88,7 +90,7 @@ class PuschUciProcessor:
         cfg = self.cfg
         a = self._phase_a(grid_pair)
         # Host decision point: CSI part 2 size from the decoded part 1.
-        csi1_np = np.asarray(a["csi1_bits"])
+        csi1_np = to_host(a["csi1_bits"])
         weights = 1 << np.arange(cfg.rx.nof_csi_part1_bits - 1, -1, -1)
         values = (csi1_np * weights).sum(-1)
         sizes = [cfg.part2_size_map[int(v)] for v in values]
@@ -101,11 +103,11 @@ class PuschUciProcessor:
             self._phase_b[csi2_size] = phase_b
         out = phase_b(a["llr"])
         out["csi1_bits"] = csi1_np
-        out["csi1_valid"] = np.asarray(a["csi1_metric"]) > 0.25
+        out["csi1_valid"] = to_host(a["csi1_metric"]) > 0.25
         out["csi2_size"] = csi2_size
         if cfg.rx.nof_harq_ack_bits:
-            out["harq_ack_bits"] = np.asarray(a["ack_bits"])
-            out["harq_ack_metric"] = np.asarray(a["ack_metric"])
+            out["harq_ack_bits"] = to_host(a["ack_bits"])
+            out["harq_ack_metric"] = to_host(a["ack_metric"])
         return out
 
 

@@ -58,6 +58,15 @@ class CellConfig:
         return self.nof_rb * 12
 
 
+class FapiValidationError(ValueError):
+    """Raised when a slot message fails FAPI validation
+    (reference: fapi message_validators reject + error.indication path)."""
+
+    def __init__(self, report):
+        self.report = report
+        super().__init__("; ".join(str(e) for e in report.errors))
+
+
 class UpperPhy:
     """One cell's upper PHY: DL slot assembly and UL slot processing."""
 
@@ -67,10 +76,19 @@ class UpperPhy:
 
     # ------------------------------------------------------------------ DL --
 
-    def process_dl_slot(self, request: DlTtiRequest, tx_data: TxDataRequest | None = None):
+    def process_dl_slot(self, request: DlTtiRequest, tx_data: TxDataRequest | None = None,
+                        validate: bool = True):
         """Build the DL slot and return (grid (nports, nsym, nsubc) complex64
         -- squeezed to (nsym, nsubc) for single-port cells -- and the OFDM
         samples (..., nsamples, 2) float32 numpy)."""
+        if validate:
+            from ..fapi import validators as _v
+
+            rep = _v.validate_dl_tti_request(request)
+            if tx_data is not None:
+                rep.errors.extend(_v.validate_tx_data_request(tx_data, request).errors)
+            if not rep.ok:
+                raise FapiValidationError(rep)
         cfg = self.cfg
         slot = request.slot
         ports = np.zeros((cfg.nof_tx_ports, 14, cfg.nof_subc), np.complex64)
@@ -164,7 +182,7 @@ class UpperPhy:
         if tb_bits is None:
             tb_bits = np.zeros(sch_cfg.tbs, np.uint8)
         assert len(tb_bits) == sch_cfg.tbs, f"TB size {len(tb_bits)} != {sch_cfg.tbs}"
-        syms = np.asarray(build_sch_symbols_tx(sch_cfg)(jnp.asarray(tb_bits[None])))[0]
+        syms = to_host(build_sch_symbols_tx(sch_cfg)(jnp.asarray(tb_bits[None])))[0]
         nl = pdu.nof_layers
         port_grids = ports if ports.ndim == 3 else ports[None]
         # Layer map: x_l(i) = d(nl*i + l); identity precoding layer->port.
@@ -190,7 +208,8 @@ class UpperPhy:
     # ------------------------------------------------------------------ UL --
 
     def process_ul_slot(self, request: UlTtiRequest, samples: np.ndarray,
-                        prach_samples: np.ndarray | None = None):
+                        prach_samples: np.ndarray | None = None,
+                        validate: bool = True):
         """Process one UL slot.
 
         Args:
@@ -200,6 +219,12 @@ class UpperPhy:
 
         Returns a list of indication objects.
         """
+        if validate:
+            from ..fapi import validators as _v
+
+            rep = _v.validate_ul_tti_request(request)
+            if not rep.ok:
+                raise FapiValidationError(rep)
         cfg = self.cfg
         slot = request.slot
         indications: list = []
@@ -267,13 +292,13 @@ class UpperPhy:
             CrcIndication(slot=slot, rnti=pdu.rnti, harq_id=pdu.harq_id, tb_crc_ok=ok),
             RxDataIndication(
                 slot=slot, rnti=pdu.rnti, harq_id=pdu.harq_id,
-                tb_bits=np.asarray(out["tb_bits"])[0] if ok else None,
+                tb_bits=to_host(out["tb_bits"])[0] if ok else None,
             ),
         ]
 
     def _process_pucch(self, slot, pdu, grid):
         k0 = pdu.prb_start * 12
-        sub = np.asarray(grid)[0, pdu.start_symbol:pdu.start_symbol + pdu.nof_symbols,
+        sub = to_host(grid)[0, pdu.start_symbol:pdu.start_symbol + pdu.nof_symbols,
                                k0:k0 + pdu.nof_prb * 12, :]
         if pdu.format == 0:
             f0 = pucch_mod.PucchFormat0Config(
@@ -284,9 +309,9 @@ class UpperPhy:
             )
             bits, metric, sr = pucch_mod.detect_pucch_format0(jnp.asarray(sub[None]), f0)
             return UciIndication(slot=slot, rnti=pdu.rnti,
-                                 harq_bits=np.asarray(bits)[0], uci_bits=None,
-                                 valid=bool(np.asarray(metric)[0] > 0.25),
-                                 sr_detected=bool(np.asarray(sr)[0]))
+                                 harq_bits=to_host(bits)[0], uci_bits=None,
+                                 valid=bool(to_host(metric)[0] > 0.25),
+                                 sr_detected=bool(to_host(sr)[0]))
         if pdu.format == 1:
             f1 = pucch_mod.PucchFormat1Config(
                 n_id=pdu.n_id, slot=slot, start_symbol=pdu.start_symbol,
@@ -296,8 +321,8 @@ class UpperPhy:
             )
             bits, metric = pucch_mod.detect_pucch_format1(jnp.asarray(sub[None]), f1)
             return UciIndication(slot=slot, rnti=pdu.rnti,
-                                 harq_bits=np.asarray(bits)[0], uci_bits=None,
-                                 valid=bool(np.asarray(metric)[0] > 0.1))
+                                 harq_bits=to_host(bits)[0], uci_bits=None,
+                                 valid=bool(to_host(metric)[0] > 0.1))
         if pdu.format == 2:
             f2 = pucch_mod.PucchFormat2Config(
                 n_id=pdu.n_id, n_id0=pdu.n_id0, rnti=pdu.rnti, slot=slot,
@@ -307,6 +332,6 @@ class UpperPhy:
             bits, ok = pucch_mod.process_pucch_format2(jnp.asarray(sub[None]), f2)
             return UciIndication(slot=slot, rnti=pdu.rnti,
                                  harq_bits=np.empty(0, np.uint8),
-                                 uci_bits=np.asarray(bits)[0],
-                                 valid=bool(np.asarray(ok)[0]))
+                                 uci_bits=to_host(bits)[0],
+                                 valid=bool(to_host(ok)[0]))
         raise ValueError(f"unsupported PUCCH format {pdu.format}")

@@ -79,11 +79,15 @@ class TestDecoder:
         np.testing.assert_array_equal(np.asarray(hard)[0], g_hard)
 
     @pytest.mark.parametrize("bg,z", [(BaseGraph.BG1, 13), (BaseGraph.BG2, 16)])
-    @pytest.mark.parametrize("variant", ["v1", "v2"])
+    @pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
     def test_pallas_matches_xla(self, bg, z, variant):
-        """Both Pallas kernels (interpret mode on CPU) are bit-exact vs the XLA decoder."""
+        """All Pallas kernels (interpret mode on CPU) are bit-exact vs the XLA decoder."""
         if variant == "v1":
             from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import ldpc_decode_pallas
+        elif variant == "v3":
+            from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import (
+                ldpc_decode_pallas_v3 as ldpc_decode_pallas,
+            )
         else:
             from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas_v2 import (
                 ldpc_decode_pallas_v2 as ldpc_decode_pallas,

@@ -124,3 +124,44 @@ class TestUciOnPusch:
         assert np.asarray(out["tb_crc_ok"]).all(), "SCH failed with ACK puncturing"
         np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
         np.testing.assert_array_equal(np.asarray(out["harq_ack_bits"]), ack)
+
+
+class TestCfoCompensation:
+    """CFO estimation + compensation (reference:
+    port_channel_estimator_average_impl.cpp:236-253 compensate_cfo)."""
+
+    def _run(self, cfo_hz, compensate):
+        from srsran_projectvtlmo_tpu.models.pusch_rx import PuschRxConfig, \
+            build_pusch_rx_slot
+        from srsran_projectvtlmo_tpu.models import build_ulsch_tx_slot
+        from srsran_projectvtlmo_tpu.ran.modulation import Modulation
+        import jax.numpy as jnp
+
+        cfg = PuschRxConfig(nof_rb=24, modulation=Modulation.QAM16,
+                            target_code_rate=0.5, nof_rx_ports=1, dft_size=512,
+                            numerology=1, dmrs_symbols=(2, 11),
+                            compensate_cfo=compensate)
+        tx = build_ulsch_tx_slot(cfg)
+        rx = build_pusch_rx_slot(cfg)
+        rng = np.random.default_rng(7)
+        tb = rng.integers(0, 2, (2, cfg.tbs)).astype(np.uint8)
+        _, samples = tx(jnp.asarray(tb))
+        s = np.asarray(samples)
+        sc = s[..., 0] + 1j * s[..., 1]
+        fs = cfg.dft_size * cfg.scs_hz
+        n = np.arange(sc.shape[-1])
+        sc = sc * np.exp(2j * np.pi * cfo_hz * n / fs)
+        sc += (rng.normal(size=sc.shape) + 1j * rng.normal(size=sc.shape)) * 0.02
+        s2 = np.stack([sc.real, sc.imag], -1).astype(np.float32)[:, None]
+        out = rx(jnp.asarray(s2))
+        return tb, out
+
+    def test_decodes_under_cfo_with_compensation(self):
+        # 700 Hz stays under the {2,11}-DM-RS ambiguity limit 1/(2*dt)~1.5kHz.
+        tb, out = self._run(cfo_hz=700.0, compensate=True)
+        assert np.asarray(out["tb_crc_ok"]).all()
+        assert (np.asarray(out["tb_bits"]) == tb).all()
+
+    def test_cfo_free_unaffected(self):
+        tb, out = self._run(cfo_hz=0.0, compensate=True)
+        assert np.asarray(out["tb_crc_ok"]).all()

@@ -125,3 +125,42 @@ def test_prach_configuration_tables():
     # Unpaired table exists and has 256 entries worth of indices.
     c2 = prach_configuration("fr1_unpaired", 87)
     assert c2.format != "" and isinstance(c2.subframes, tuple)
+
+
+class TestPrachCyclicShiftTables:
+    """TS 38.211 Tables 6.3.3.1-5/6/7 accessor
+    (reference: tests/unittests/ran/prach/prach_cyclic_shifts_test.cpp)."""
+
+    def test_spot_values(self):
+        from srsran_projectvtlmo_tpu.ran.prach_cyclic_shifts import (
+            PRACH_CYCLIC_SHIFTS_RESERVED, RestrictedSetConfig,
+            prach_cyclic_shifts_get)
+
+        U, A, B = (RestrictedSetConfig.UNRESTRICTED, RestrictedSetConfig.TYPE_A,
+                   RestrictedSetConfig.TYPE_B)
+        assert prach_cyclic_shifts_get("1.25kHz", U, 0) == 0
+        assert prach_cyclic_shifts_get("1.25kHz", U, 15) == 419
+        assert prach_cyclic_shifts_get("1.25kHz", A, 0) == 15
+        assert prach_cyclic_shifts_get("1.25kHz", A, 14) == 237
+        assert prach_cyclic_shifts_get("1.25kHz", A, 15) == PRACH_CYCLIC_SHIFTS_RESERVED
+        assert prach_cyclic_shifts_get("1.25kHz", B, 12) == 137
+        assert prach_cyclic_shifts_get("1.25kHz", B, 13) == PRACH_CYCLIC_SHIFTS_RESERVED
+        assert prach_cyclic_shifts_get("5kHz", U, 12) == 139
+        assert prach_cyclic_shifts_get("5kHz", A, 15) == 237
+        assert prach_cyclic_shifts_get("5kHz", B, 13) == 137
+        assert prach_cyclic_shifts_get("5kHz", B, 14) == PRACH_CYCLIC_SHIFTS_RESERVED
+        assert prach_cyclic_shifts_get("15kHz", U, 15) == 69
+        assert prach_cyclic_shifts_get("15kHz", A, 0) == PRACH_CYCLIC_SHIFTS_RESERVED
+        assert prach_cyclic_shifts_get("30kHz", B, 0) == PRACH_CYCLIC_SHIFTS_RESERVED
+        assert prach_cyclic_shifts_get("5kHz", U, 16) == PRACH_CYCLIC_SHIFTS_RESERVED
+
+    def test_unrestricted_matches_detector_tables(self):
+        from srsran_projectvtlmo_tpu.ran.prach_cyclic_shifts import (
+            RestrictedSetConfig, prach_cyclic_shifts_get)
+        from srsran_projectvtlmo_tpu.ops.prach import NCS_UNRESTRICTED
+
+        for zcz in range(16):
+            assert (prach_cyclic_shifts_get("1.25kHz", RestrictedSetConfig.UNRESTRICTED, zcz)
+                    == NCS_UNRESTRICTED["1.25kHz"][zcz])
+            assert (prach_cyclic_shifts_get("15kHz", RestrictedSetConfig.UNRESTRICTED, zcz)
+                    == NCS_UNRESTRICTED["short"][zcz])
