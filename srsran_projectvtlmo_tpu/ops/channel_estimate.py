@@ -101,16 +101,28 @@ def estimate_channel_hop(
 
     lse = jnp.mean(lse_sym, axis=-2)  # (..., npilots)
 
-    # Raised-cosine smoothing with edge padding (virtual pilots simplified to
-    # nearest-pilot replication; the reference extrapolates magnitude/phase).
+    # Raised-cosine smoothing over the pilots enlarged with virtual pilots:
+    # linear extrapolation of magnitude and unwrapped phase from the nearest
+    # true pilots at each band edge
+    # (reference: port_channel_estimator_average_impl.cpp:628-720
+    # compute_v_pilots/add_v_pilots; MAX_V_PILOTS=12, all pilots when nof_rb=1).
     taps = jnp.asarray(rc_filter(nof_rb, stride))
-    k = taps.shape[0] // 2
-    padded = jnp.concatenate(
-        [jnp.repeat(lse[..., :1], k, axis=-1), lse, jnp.repeat(lse[..., -1:], k, axis=-1)],
+    npil_static = lse.shape[-1]
+    n_v = min(12, taps.shape[0] // 2)
+    if nof_rb == 1:
+        n_v = npil_static
+    # A linear fit needs >= 2 base pilots; clamp to what the band offers.
+    n_v = max(min(n_v, npil_static), 2) if npil_static >= 2 else 0
+    enlarged = jnp.concatenate(
+        [_virtual_pilots(lse, n_v, True), lse, _virtual_pilots(lse, n_v, False)],
         axis=-1,
     )
-    win = _sliding_windows(padded, taps.shape[0])  # (..., npilots, ntaps)
+    k = taps.shape[0] // 2
+    zpad = jnp.zeros(enlarged.shape[:-1] + (k,), enlarged.dtype)
+    padded = jnp.concatenate([zpad, enlarged, zpad], axis=-1)
+    win = _sliding_windows(padded, taps.shape[0])  # (..., npil + 2 n_v, ntaps)
     smoothed = jnp.einsum("...pt,t->...p", win, taps.astype(jnp.complex64))
+    smoothed = smoothed[..., n_v:n_v + npil_static]
 
     # Noise: residual between per-symbol LSE and the smoothed estimate.
     resid = lse_sym - smoothed[..., None, :]
@@ -143,6 +155,35 @@ def estimate_channel_hop(
         "time_alignment_s": ta_s,
         "cfo_hz": cfo_hz,
     }
+
+
+def _virtual_pilots(lse, n_v: int, is_start: bool):
+    """Extrapolated virtual pilots from the n_v nearest true pilots.
+
+    Linear least-squares fit of the pilot magnitude and unwrapped phase over
+    local indices 0..n_v-1, evaluated at the n_v indices just outside the band
+    (reference: port_channel_estimator_average_impl.cpp:686-720
+    compute_v_pilots — identical closed-form slope/intercept).
+    """
+    base = lse[..., :n_v] if is_start else lse[..., -n_v:]
+    mag = jnp.abs(base)
+    arg = jnp.unwrap(jnp.angle(base), axis=-1)
+    idx = jnp.arange(n_v, dtype=jnp.float32)
+    mean_x = (n_v - 1) / 2.0
+    norm_x_sq = (n_v - 1) * n_v * (2 * n_v - 1) / 6.0
+    denom = norm_x_sq - n_v * mean_x * mean_x
+
+    def fit(y):
+        mean_y = jnp.mean(y, axis=-1, keepdims=True)
+        slope = (jnp.sum(y * idx, axis=-1, keepdims=True)
+                 - mean_x * mean_y * n_v) / denom
+        return slope, mean_y - slope * mean_x
+
+    s_abs, i_abs = fit(mag)
+    s_arg, i_arg = fit(arg)
+    iv = idx + (-n_v if is_start else n_v)
+    return ((s_abs * iv + i_abs)
+            * jnp.exp(1j * (s_arg * iv + i_arg))).astype(lse.dtype)
 
 
 def _sliding_windows(x, width: int):
