@@ -63,6 +63,15 @@ class PuschRxConfig(SchChainConfig):
     #: channel estimates (reference: port_channel_estimator_average_impl.cpp
     #: :245-253 compensate_cfo). Needs >= 2 DM-RS symbols to engage.
     compensate_cfo: bool = True
+    #: Intra-slot frequency hopping: slot symbol index (absolute) where the
+    #: second hop starts, and the second hop's PRB start. The channel is
+    #: estimated independently per hop and the DM-RS sequence is CRB-indexed
+    #: per hop; per-hop noise/TA/CFO are averaged
+    #: (reference: port_channel_estimator_average_impl.cpp:238-330 hop loop).
+    #: The grid passed to the rx program is the *extracted allocation* — the
+    #: caller gathers each symbol's rows from that symbol's hop offset.
+    hop_symbol: int | None = None
+    second_hop_prb: int | None = None
 
     @property
     def scs_hz(self) -> float:
@@ -162,12 +171,38 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     z = seg.lifting_size
     offsets = np.concatenate([[0], np.cumsum(es)]).astype(int)
 
+    hopping = cfg.hop_symbol is not None
+    if hopping:
+        assert cfg.second_hop_prb is not None, "hop_symbol needs second_hop_prb"
+        assert cfg.nof_layers == 1, "frequency hopping supported for 1 layer"
+
+    def _hop_of(sym_abs: int) -> int:
+        return 1 if hopping and sym_abs >= cfg.hop_symbol else 0
+
+    def _prb_start(sym_abs: int) -> int:
+        return cfg.second_hop_prb if _hop_of(sym_abs) else cfg.rb_start
+
     ref = np.stack([
         dmrs_type1_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id, cfg.nof_rb,
-                            prb_start=cfg.rb_start)
+                            prb_start=_prb_start(cfg.start_symbol + s))
         for s in cfg.dmrs_symbols
     ])
     ref_pair = np.stack([ref.real, ref.imag], axis=-1).astype(np.float32)
+
+    nof_hops = 2 if hopping else 1
+    #: Per hop: indices into the DM-RS symbol axis / the data symbol axis.
+    dmrs_hop_sel = [
+        [i for i, s in enumerate(cfg.dmrs_symbols)
+         if _hop_of(cfg.start_symbol + int(s)) == k]
+        for k in range(nof_hops)
+    ]
+    data_hop_count = [
+        sum(1 for s in cfg.data_symbols if _hop_of(cfg.start_symbol + int(s)) == k)
+        for k in range(nof_hops)
+    ]
+    if hopping:
+        assert all(dmrs_hop_sel[k] for k in range(nof_hops)), \
+            "each hop needs at least one DM-RS symbol"
     pil_subc = (2 * np.arange(6 * cfg.nof_rb)).astype(np.int32)
     descr_signs = 1 - 2 * prg_mod.gold_sequence_bits(
         cfg.scrambling_cinit(), cfg.nof_codeword_bits
@@ -213,21 +248,35 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         y = jnp.transpose(data, (0, 2, 3, 1, 4)).reshape(b, nre, cfg.nof_rx_ports, 2)
 
         if nlayers == 1:
-            est = jax.vmap(
-                lambda g: estimate_channel_hop(g, jnp.asarray(ref_pair), cfg.nof_rb, 2,
-                                               cfg.scs_hz, dmrs_epochs),
-                in_axes=1, out_axes=0,
-            )(rx_pilots)
-            ce = est["ce_pair"]  # (P, B, nsubc, 2)
-            noise = est["noise_var"]  # (P, B)
-            ta = est["time_alignment_s"]
-
-            h = jnp.broadcast_to(
-                jnp.transpose(ce, (1, 0, 2, 3))[:, None, :, :, :],
-                (b, len(data_syms), cfg.nof_rx_ports, cfg.nof_subc, 2),
-            )
-            if cfg.compensate_cfo and len(dmrs_epochs) >= 2:
-                h = _cfo_rotate(h, jnp.mean(est["cfo_hz"], axis=0))
+            # One estimate per hop (hop = the whole allocation when not
+            # hopping); per-hop noise/TA/CFO are then averaged
+            # (reference: port_channel_estimator_average_impl.cpp:238-330).
+            h_hops, noise_hops, ta_hops, cfo_hops = [], [], [], []
+            for k in range(nof_hops):
+                sel = np.asarray(dmrs_hop_sel[k], np.int32)
+                epochs_k = tuple(dmrs_epochs[i] for i in dmrs_hop_sel[k])
+                ref_k = jnp.asarray(ref_pair[dmrs_hop_sel[k]])
+                est = jax.vmap(
+                    lambda g, r=ref_k, e=epochs_k: estimate_channel_hop(
+                        g, r, cfg.nof_rb, 2, cfg.scs_hz, e),
+                    in_axes=1, out_axes=0,
+                )(rx_pilots[:, :, sel])
+                ce = est["ce_pair"]  # (P, B, nsubc, 2)
+                h_hops.append(jnp.broadcast_to(
+                    jnp.transpose(ce, (1, 0, 2, 3))[:, None, :, :, :],
+                    (b, data_hop_count[k], cfg.nof_rx_ports, cfg.nof_subc, 2),
+                ))
+                noise_hops.append(est["noise_var"])  # (P, B)
+                ta_hops.append(est["time_alignment_s"])
+                if len(epochs_k) >= 2:
+                    cfo_hops.append(est["cfo_hz"])
+            h = (h_hops[0] if nof_hops == 1
+                 else jnp.concatenate(h_hops, axis=1))
+            noise = sum(noise_hops) / nof_hops
+            ta = sum(ta_hops) / nof_hops
+            if cfg.compensate_cfo and cfo_hops:
+                cfo = sum(cfo_hops) / len(cfo_hops)
+                h = _cfo_rotate(h, jnp.mean(cfo, axis=0))
             h = jnp.transpose(h, (0, 1, 3, 2, 4)).reshape(b, nre, cfg.nof_rx_ports, 2)
             nvar_port = jnp.transpose(noise, (1, 0))  # (B, P)
             eq, eq_nvar = equalize_mmse_1xn(y, h, nvar_port)

@@ -80,9 +80,16 @@ def build_ulsch_tx_slot(cfg: PuschRxConfig, nof_csi_part2_bits: int | None = Non
             encoders[name] = _uci_field_encoder(
                 payload, len(plan.field_bit_idx(name)), qm)
 
+    def _prb_start(sym_abs: int) -> int:
+        # Intra-slot frequency hopping: the DM-RS Gold sequence is CRB-indexed,
+        # so second-hop symbols draw it from the hop's PRB offset.
+        if cfg.hop_symbol is not None and sym_abs >= cfg.hop_symbol:
+            return cfg.second_hop_prb
+        return cfg.rb_start
+
     ref = np.stack([
         dmrs_type1_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id, cfg.nof_rb,
-                            prb_start=cfg.rb_start)
+                            prb_start=_prb_start(cfg.start_symbol + s))
         for s in cfg.dmrs_symbols
     ])
     pil_subc = (2 * np.arange(6 * cfg.nof_rb)).astype(np.int32)

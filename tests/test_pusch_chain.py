@@ -165,3 +165,55 @@ class TestCfoCompensation:
     def test_cfo_free_unaffected(self):
         tb, out = self._run(cfo_hz=0.0, compensate=True)
         assert np.asarray(out["tb_crc_ok"]).all()
+
+
+class TestFrequencyHopping:
+    """Intra-slot frequency hopping: independent channel estimation per hop
+    (reference: port_channel_estimator_average_impl.cpp:238-330 hop loop)."""
+
+    def _hop_cfg(self):
+        return PuschRxConfig(
+            nof_rb=12, modulation=Modulation.QAM16, target_code_rate=0.5,
+            nof_rx_ports=1, dft_size=512, numerology=1,
+            dmrs_symbols=(2, 9), hop_symbol=7, second_hop_prb=12,
+        )
+
+    def _run(self, cfg, hop_boundary=7):
+        """Loopback applying a different frequency-selective channel per hop:
+        opposite linear phase ramps (±2 symbol delays) plus a gain step."""
+        tx = build_ulsch_tx_slot(cfg)
+        from srsran_projectvtlmo_tpu.models.pusch_rx import build_pusch_rx_from_grid
+        rx = build_pusch_rx_from_grid(cfg)
+        rng = np.random.default_rng(1)
+        tb = rng.integers(0, 2, (2, cfg.tbs)).astype(np.uint8)
+        grid_pair, _ = tx(jnp.asarray(tb))
+        g = pair_to_np(np.asarray(grid_pair))  # (B, 14, nsubc)
+        hop_of = np.asarray([1 if s >= hop_boundary else 0
+                             for s in range(cfg.nof_ofdm_symbols)])
+        f = np.arange(cfg.nof_subc) / cfg.nof_subc
+        h = np.stack([np.exp(2j * np.pi * 2.0 * f),
+                      0.6 * np.exp(-2j * np.pi * 2.0 * f)])  # (2, nsubc)
+        g = g * h[hop_of][None]
+        g += (rng.normal(size=g.shape) + 1j * rng.normal(size=g.shape)) * 1e-3
+        out = rx(jnp.asarray(np_to_pair(g))[:, None])
+        return tb, out
+
+    def test_hopping_decodes_with_per_hop_channels(self):
+        cfg = self._hop_cfg()
+        tb, out = self._run(cfg)
+        assert np.asarray(out["tb_crc_ok"]).all()
+        np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+    def test_single_hop_estimator_degrades_on_hop_channel(self):
+        """The same per-hop channel through a non-hopping config (averaged
+        estimate) must produce clearly worse post-eq SNR."""
+        hop_cfg = self._hop_cfg()
+        flat_cfg = PuschRxConfig(
+            nof_rb=12, modulation=Modulation.QAM16, target_code_rate=0.5,
+            nof_rx_ports=1, dft_size=512, numerology=1, dmrs_symbols=(2, 9),
+        )
+        _, out_hop = self._run(hop_cfg)
+        _, out_flat = self._run(flat_cfg)
+        snr_hop = float(np.asarray(out_hop["snr_db"]).mean())
+        snr_flat = float(np.asarray(out_flat["snr_db"]).mean())
+        assert snr_hop > snr_flat + 10, (snr_hop, snr_flat)
