@@ -31,7 +31,7 @@ from ..ops import ofdm as ofdm_mod
 from ..ops.crc import crc_check_device
 from ..ops.channel_estimate import estimate_channel_hop
 from ..ops.dmrs import dmrs_type1_sequence
-from ..ops.equalization import equalize_mmse_1xn, equalize_mmse_general
+from ..ops.equalization import mmse_weights, zf_weights, apply_weights
 from ..ops.demodulation import soft_demap
 from ..ops.ldpc import rate_matching as rm
 from ..ops.ldpc.decode import ldpc_decode
@@ -48,6 +48,14 @@ class PuschRxConfig(SchChainConfig):
     #: Use the Pallas TPU kernel for the LDPC decoder (bit-exact vs the XLA
     #: path; substantially faster on real hardware).
     use_pallas_decoder: bool = False
+    #: Stop LDPC iterations per codeblock once its CRC passes (bit-exact with
+    #: the reference's per-iteration CRC stop,
+    #: lib/phy/upper/channel_coding/ldpc/ldpc_decoder_impl.cpp:126-134);
+    #: per-CB iteration counts are reported in the result dict.
+    ldpc_early_stop: bool = True
+    #: Equalizer: "mmse" (reference default) or "zf"
+    #: (reference: lib/phy/upper/equalization/equalize_zf_1xn.h).
+    equalizer: str = "mmse"
     #: UCI payload bits multiplexed on PUSCH (TS 38.212 Section 6.2.7: <=2 ACK
     #: bits puncture the SCH, >2 and CSI are rate-matched around).
     nof_harq_ack_bits: int = 0
@@ -218,20 +226,6 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
 
     nlayers = cfg.nof_layers
 
-    def _cfo_rotate(h, cfo_b):
-        """Rotate per-data-symbol channel estimates by the estimated CFO.
-
-        h: (b, nsym_d, ..., 2); cfo_b: (b,). h_l *= exp(j 2 pi t_l cfo).
-        """
-        ang = (2.0 * np.pi) * cfo_b[:, None] * jnp.asarray(data_epochs)[None, :]
-        cr = jnp.cos(ang)
-        ci = jnp.sin(ang)
-        shape = (h.shape[0], h.shape[1]) + (1,) * (h.ndim - 3)
-        cr = cr.reshape(shape)
-        ci = ci.reshape(shape)
-        hr, hi = h[..., 0], h[..., 1]
-        return jnp.stack([hr * cr - hi * ci, hr * ci + hi * cr], axis=-1)
-
     from ..ops.ulsch_demux import placeholder_fix_signs
 
     scr_bits = prg_mod.gold_sequence_bits(cfg.scrambling_cinit(), cfg.nof_codeword_bits)
@@ -239,19 +233,27 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     csi1_fix = placeholder_fix_signs(plan.csi1_bit_idx, cfg.nof_csi_part1_bits, qm, scr_bits)
     csi2_fix = placeholder_fix_signs(plan.csi2_bit_idx, cfg.nof_csi_part2_bits, qm, scr_bits)
 
+    weights_fn = {"mmse": mmse_weights, "zf": zf_weights}[cfg.equalizer]
+
     @jax.jit
     def rx(grid, harq_buffer=None):
         rx_pilots = grid[:, :, dmrs_syms][:, :, :, pil_subc, :]  # (B, P, ndmrs, npil, 2)
         b = grid.shape[0]
         nre = cfg.nof_data_re
         data = grid[:, :, data_syms]  # (B, P, nsym_d, nsubc, 2)
-        y = jnp.transpose(data, (0, 2, 3, 1, 4)).reshape(b, nre, cfg.nof_rx_ports, 2)
+        # (B, nsym_d, nsubc, P, 2): symbol-major RE order for the demapper.
+        y = jnp.transpose(data, (0, 2, 3, 1, 4))
 
+        # Equalizer weights are computed ONCE per subcarrier (the estimate is
+        # slot-constant) and applied across the data symbols; the CFO
+        # correction commutes to a per-symbol phase rotation of the outputs
+        # (h' = h e^{j a} => W(h') y = e^{-j a} W(h) y, same post-eq noise).
         if nlayers == 1:
             # One estimate per hop (hop = the whole allocation when not
             # hopping); per-hop noise/TA/CFO are then averaged
             # (reference: port_channel_estimator_average_impl.cpp:238-330).
-            h_hops, noise_hops, ta_hops, cfo_hops = [], [], [], []
+            eq_hops, nv_hops, noise_hops, ta_hops, cfo_hops = [], [], [], [], []
+            sym_off = 0
             for k in range(nof_hops):
                 sel = np.asarray(dmrs_hop_sel[k], np.int32)
                 epochs_k = tuple(dmrs_epochs[i] for i in dmrs_hop_sel[k])
@@ -262,24 +264,24 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                     in_axes=1, out_axes=0,
                 )(rx_pilots[:, :, sel])
                 ce = est["ce_pair"]  # (P, B, nsubc, 2)
-                h_hops.append(jnp.broadcast_to(
-                    jnp.transpose(ce, (1, 0, 2, 3))[:, None, :, :, :],
-                    (b, data_hop_count[k], cfg.nof_rx_ports, cfg.nof_subc, 2),
-                ))
+                h_sub = jnp.transpose(ce, (1, 2, 0, 3))[..., None, :]  # (B, S, P, 1, 2)
+                nvar_port = jnp.transpose(est["noise_var"], (1, 0))  # (B, P)
+                w_k, nv_k = weights_fn(h_sub, nvar_port)  # (B,S,1,P,2), (B,S,1)
+                y_k = y[:, sym_off:sym_off + data_hop_count[k]]
+                eq_hops.append(apply_weights(w_k, y_k))  # (B, nsym_k, S, 1, 2)
+                nv_hops.append(jnp.broadcast_to(
+                    nv_k[:, None], (b, data_hop_count[k], cfg.nof_subc, 1)))
+                sym_off += data_hop_count[k]
                 noise_hops.append(est["noise_var"])  # (P, B)
                 ta_hops.append(est["time_alignment_s"])
                 if len(epochs_k) >= 2:
                     cfo_hops.append(est["cfo_hz"])
-            h = (h_hops[0] if nof_hops == 1
-                 else jnp.concatenate(h_hops, axis=1))
+            eq = eq_hops[0] if nof_hops == 1 else jnp.concatenate(eq_hops, axis=1)
+            eq_nvar = nv_hops[0] if nof_hops == 1 else jnp.concatenate(nv_hops, axis=1)
             noise = sum(noise_hops) / nof_hops
             ta = sum(ta_hops) / nof_hops
-            if cfg.compensate_cfo and cfo_hops:
-                cfo = sum(cfo_hops) / len(cfo_hops)
-                h = _cfo_rotate(h, jnp.mean(cfo, axis=0))
-            h = jnp.transpose(h, (0, 1, 3, 2, 4)).reshape(b, nre, cfg.nof_rx_ports, 2)
-            nvar_port = jnp.transpose(noise, (1, 0))  # (B, P)
-            eq, eq_nvar = equalize_mmse_1xn(y, h, nvar_port)
+            cfo_b = (jnp.mean(sum(cfo_hops) / len(cfo_hops), axis=0)
+                     if (cfg.compensate_cfo and cfo_hops) else None)
         else:
             # Type-1 CDM: despread the fd-OCC over adjacent pilot pairs to split
             # the per-layer least-squares estimates, then smooth/interpolate each
@@ -312,20 +314,26 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             noise = jnp.mean(est["noise_var"], axis=0)  # (P, B)
             ta = est["time_alignment_s"][0]
 
-            h = jnp.broadcast_to(
-                jnp.transpose(ce, (2, 1, 3, 0, 4))[:, None],  # (B, 1, P, nsubc, L, 2)
-                (b, len(data_syms), cfg.nof_rx_ports, cfg.nof_subc, nlayers, 2),
-            )
-            if cfg.compensate_cfo and len(dmrs_epochs) >= 2:
-                h = _cfo_rotate(h, jnp.mean(est["cfo_hz"], axis=(0, 1)))
-            h = jnp.transpose(h, (0, 1, 3, 2, 4, 5)).reshape(
-                b, nre, cfg.nof_rx_ports, nlayers, 2
-            )
-            nvar_port = jnp.transpose(noise, (1, 0))
-            eq_l, nv_l = equalize_mmse_general(y, h, nvar_port)  # (B, nre, L, 2), (B, nre, L)
-            # Layer demap: d(L*i + l) = x_l(i).
-            eq = eq_l.reshape(b, nre * nlayers, 2)
-            eq_nvar = nv_l.reshape(b, nre * nlayers)
+            h_sub = jnp.transpose(ce, (2, 3, 1, 0, 4))  # (B, S, P, L, 2)
+            nvar_port = jnp.transpose(noise, (1, 0))  # (B, P)
+            w, nv = weights_fn(h_sub, nvar_port)  # (B,S,L,P,2), (B,S,L)
+            eq = apply_weights(w, y)  # (B, nsym_d, S, L, 2)
+            eq_nvar = jnp.broadcast_to(
+                nv[:, None], (b, len(data_syms), cfg.nof_subc, nlayers))
+            cfo_b = (jnp.mean(est["cfo_hz"], axis=(0, 1))
+                     if (cfg.compensate_cfo and len(dmrs_epochs) >= 2) else None)
+
+        if cfo_b is not None:
+            # Output-side CFO derotation: x_l *= exp(-j 2 pi t_l cfo).
+            ang = (2.0 * np.pi) * cfo_b[:, None] * jnp.asarray(data_epochs)[None, :]
+            cr = jnp.cos(ang)[:, :, None, None]
+            ci = jnp.sin(ang)[:, :, None, None]
+            er, ei = eq[..., 0], eq[..., 1]
+            eq = jnp.stack([er * cr + ei * ci, ei * cr - er * ci], axis=-1)
+
+        # Layer demap: d(L*i + l) = x_l(i), REs symbol-major.
+        eq = eq.reshape(b, nre * nlayers, 2)
+        eq_nvar = eq_nvar.reshape(b, nre * nlayers)
 
         llr = soft_demap(eq, eq_nvar, cfg.modulation)  # (B, nre*L*qm) int8
 
@@ -374,25 +382,49 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         if harq_buffer is not None:
             soft = rm.harq_combine(harq_buffer, soft)
 
-        if cfg.use_pallas_decoder:
-            from .decode_select import decode_fn
+        kp = seg.nof_payload_bits_per_cb
+        if cfg.ldpc_early_stop:
+            # Per-CB CRC-gated early stop inside the decoder (the kernel's CRC
+            # verdict doubles as the CB CRC check).
+            crc_cb = ("CRC24B" if seg.cb_crc_bits
+                      else ("CRC24A" if seg.tb_crc_bits == 24 else "CRC16"))
+            if cfg.use_pallas_decoder:
+                from ..ops.ldpc.decode_pallas import ldpc_decode_pallas_es
 
-            hard, _ = decode_fn(True)(soft.reshape(b * c, -1), seg.base_graph, z,
-                                      cfg.nof_ldpc_iterations)
+                hard, _, ok_flat, it_flat = ldpc_decode_pallas_es(
+                    soft.reshape(b * c, -1), seg.base_graph, z, crc_cb, kp,
+                    cfg.nof_ldpc_iterations)
+            else:
+                from ..ops.ldpc.decode import ldpc_decode_es
+
+                hard, _, ok_flat, it_flat = ldpc_decode_es(
+                    soft.reshape(b * c, -1), seg.base_graph, z, crc_cb, kp,
+                    nof_iterations=cfg.nof_ldpc_iterations)
+            cb_ok = ok_flat.reshape(b, c)
+            ldpc_iters = it_flat.reshape(b, c)
         else:
-            hard, _ = ldpc_decode(
-                soft.reshape(b * c, -1), seg.base_graph, z,
-                nof_iterations=cfg.nof_ldpc_iterations,
-            )
+            if cfg.use_pallas_decoder:
+                from .decode_select import decode_fn
+
+                hard, _ = decode_fn(True)(soft.reshape(b * c, -1), seg.base_graph,
+                                          z, cfg.nof_ldpc_iterations)
+            else:
+                hard, _ = ldpc_decode(
+                    soft.reshape(b * c, -1), seg.base_graph, z,
+                    nof_iterations=cfg.nof_ldpc_iterations,
+                )
+            cb_ok = None
+            ldpc_iters = jnp.full((b, c), cfg.nof_ldpc_iterations, jnp.int32)
         hard = hard.reshape(b, c, -1)
 
-        kp = seg.nof_payload_bits_per_cb
         payload_bits = hard[:, :, :kp]
         if seg.cb_crc_bits:
-            cb_ok = crc_check_device(payload_bits, "CRC24B")
+            if cb_ok is None:
+                cb_ok = crc_check_device(payload_bits, "CRC24B")
             payload = payload_bits[:, :, : kp - seg.cb_crc_bits].reshape(b, -1)
         else:
-            cb_ok = jnp.ones((b, c), bool)
+            if cb_ok is None:
+                cb_ok = jnp.ones((b, c), bool)
             payload = payload_bits.reshape(b, -1)
         tb_and_crc = payload[:, : cfg.tbs + seg.tb_crc_bits]
         crc_name = "CRC24A" if seg.tb_crc_bits == 24 else "CRC16"
@@ -407,6 +439,7 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             "tb_bits": tb_and_crc[:, : cfg.tbs],
             "snr_db": snr_db,
             "ta_s": jnp.mean(ta, axis=0),
+            "ldpc_iterations": ldpc_iters,
             "harq_soft": soft,
             "harq_ack_bits": ack_bits,
             "harq_ack_metric": ack_metric,

@@ -124,10 +124,14 @@ def estimate_channel_hop(
     smoothed = jnp.einsum("...pt,t->...p", win, taps.astype(jnp.complex64))
     smoothed = smoothed[..., n_v:n_v + npil_static]
 
-    # Noise: residual between per-symbol LSE and the smoothed estimate.
+    # Noise: residual between per-symbol LSE and the smoothed estimate,
+    # floored at 90 dB below the received pilot energy so downstream MMSE /
+    # soft-demap scaling stays finite in float32 on noise-free test inputs.
     resid = lse_sym - smoothed[..., None, :]
     npil = lse.shape[-1]
     noise_var = jnp.sum(jnp.abs(resid) ** 2, axis=(-1, -2)) / jnp.maximum(nsym * npil - 1, 1)
+    epre_f = jnp.mean(jnp.abs(y) ** 2, axis=(-1, -2))
+    noise_var = jnp.maximum(noise_var, 1e-9 * epre_f + 1e-30)
 
     # Time alignment: IDFT of the averaged LSE, parabolic-free argmax.
     nfft = _next_pow2(4 * npil)

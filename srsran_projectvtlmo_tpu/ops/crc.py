@@ -69,6 +69,30 @@ def crc_basis(name: str, length: int) -> np.ndarray:
     return rows[::-1].copy()
 
 
+@functools.lru_cache(maxsize=None)
+def crc_zero_basis(name: str, length: int) -> np.ndarray:
+    """Zero-shift basis (length, order) uint8: row i = x^(length-1-i) mod g.
+
+    For an MSB-first sequence s = payload||crc of `length` bits,
+    xor_i s_i * row_i == 0 iff the CRC checks (the appended CRC makes the
+    whole sequence a multiple of g).  Used for in-loop convergence detection
+    in the LDPC decoders (reference checks the CB CRC each iteration,
+    lib/phy/upper/channel_coding/ldpc/ldpc_decoder_impl.cpp:126-134).
+    """
+    order, poly = POLYS[name]
+    a = _mul_x_matrix(order, poly)
+    r0 = np.zeros(order, dtype=np.uint8)
+    r0[0] = 1  # x^0
+    rows = r0[None, :].copy()
+    a_pow = a.copy()
+    while rows.shape[0] < length:
+        ext = (rows.astype(np.int64) @ a_pow.T.astype(np.int64)) % 2
+        rows = np.concatenate([rows, ext.astype(np.uint8)], axis=0)
+        a_pow = (a_pow.astype(np.int64) @ a_pow.astype(np.int64) % 2).astype(np.uint8)
+    rows = rows[:length]
+    return rows[::-1].copy()
+
+
 def crc_host(bits: np.ndarray, name: str) -> np.ndarray:
     """CRC of an MSB-first uint8 bit array -> uint8 bit array of CRC (MSB first)."""
     order, _ = POLYS[name]

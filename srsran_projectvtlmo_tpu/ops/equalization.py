@@ -49,6 +49,166 @@ def equalize_mmse_1xn(y_pair, h_pair, noise_var_port, tx_scaling: float = 1.0):
     return from_cplx(out), nvars
 
 
+def mmse_weights(h_pair, noise_var_port, tx_scaling: float = 1.0):
+    """MMSE weight matrices per resource element / subcarrier.
+
+    Because the slot's channel estimate is constant across the data symbols,
+    the weights are computed ONCE per subcarrier and applied to every symbol
+    (`apply_weights`) — 13x fewer solves than the per-RE formulation for a
+    full slot.  L = 1 uses the reference's SIMO closed form
+    (reference: lib/phy/upper/equalization/equalize_mmse_1xn.h:44-96);
+    L = 2 a closed-form 2x2 hermitian adjugate inverse; L >= 3 falls back to
+    a batched inverse (still per subcarrier, not per RE).
+
+    Args:
+      h_pair: (..., S, P, L, 2) channel estimates.
+      noise_var_port: (..., P) per-port noise variances.
+
+    Returns:
+      (w_pair (..., S, L, P, 2) weights with noise whitening and bias
+       correction folded in — symbols = w @ y —, nvar_out (..., S, L)
+       post-equalization noise variances, +inf where degenerate).
+    """
+    h = to_cplx(h_pair) * tx_scaling  # (..., S, P, L)
+    nlayers = h.shape[-1]
+    nvar = noise_var_port[..., None, :]  # (..., 1, P)
+
+    if nlayers == 1:
+        hs = h[..., 0]  # (..., S, P)
+        ch_norm = jnp.abs(hs) ** 2
+        ok = jnp.isfinite(ch_norm) & (ch_norm > 0) & jnp.isfinite(nvar) & (nvar > 0)
+        ch_norm = jnp.where(ok, ch_norm, 0.0)
+        c = jnp.sum(ch_norm, axis=-1)  # (..., S)
+        nvar_acc = jnp.sum(ch_norm * jnp.where(ok, nvar, 0.0), axis=-1)
+        denom = c * c + nvar_acc
+        good = jnp.isfinite(c) & (c > 0) & jnp.isfinite(nvar_acc) & (nvar_acc > 0)
+        scale = jnp.where(good, c / jnp.where(good, denom, 1.0), 0.0)
+        w = jnp.where(ok, jnp.conj(hs), 0.0) * scale[..., None]  # (..., S, P)
+        nvars = jnp.where(good, nvar_acc / jnp.where(good, denom, 1.0), jnp.inf)
+        return from_cplx(w[..., None, :]), nvars[..., None]
+
+    # Whitened normal matrix A = H^H N^-1 H + I and cross term B = H^H N^-1.
+    ninv = 1.0 / jnp.maximum(nvar, 1e-38)  # (..., 1, P)
+    ah_n = jnp.conj(jnp.swapaxes(h, -1, -2)) * ninv[..., None, :]  # (..., S, L, P)
+    a = jnp.einsum("...lp,...pk->...lk", ah_n, h) + jnp.eye(nlayers, dtype=h.dtype)
+
+    if nlayers == 2:
+        a00 = jnp.real(a[..., 0, 0])
+        a11 = jnp.real(a[..., 1, 1])
+        a01 = a[..., 0, 1]
+        det = a00 * a11 - jnp.abs(a01) ** 2
+        det = jnp.maximum(det, 1e-30)
+        inv00 = (a11 / det).astype(h.dtype)
+        inv11 = (a00 / det).astype(h.dtype)
+        inv01 = -a01 / det
+        a_inv = jnp.stack([
+            jnp.stack([inv00, inv01], axis=-1),
+            jnp.stack([jnp.conj(inv01), inv11], axis=-1),
+        ], axis=-2)
+    else:
+        a_inv = jnp.linalg.inv(a)
+
+    w = jnp.einsum("...lk,...kp->...lp", a_inv, ah_n)  # (..., S, L, P)
+    # Per-layer MMSE bias d = [A^-1]_ll in (0, 1]: unbias by 1/(1-d), post-eq
+    # noise = d/(1-d).  Working with d directly avoids the 1-(1-d) float32
+    # cancellation that would zero the noise variance at very high SNR.
+    d = jnp.clip(jnp.real(jnp.diagonal(a_inv, axis1=-2, axis2=-1)),
+                 1e-9, 1.0 - 1e-9)
+    w = w / (1.0 - d)[..., None].astype(h.dtype)
+    nvars = d / (1.0 - d)
+    return from_cplx(w), nvars
+
+
+def apply_weights(w_pair, y_pair):
+    """Apply per-subcarrier weights to per-symbol received REs.
+
+    Args:
+      w_pair: (..., S, L, P, 2) from `mmse_weights`.
+      y_pair: (..., nsym, S, P, 2) received data REs.
+
+    Returns: (..., nsym, S, L, 2) equalized symbols.
+    """
+    wr, wi = w_pair[..., 0], w_pair[..., 1]
+    yr, yi = y_pair[..., 0], y_pair[..., 1]
+    outr = (jnp.einsum("...slp,...tsp->...tsl", wr, yr)
+            - jnp.einsum("...slp,...tsp->...tsl", wi, yi))
+    outi = (jnp.einsum("...slp,...tsp->...tsl", wr, yi)
+            + jnp.einsum("...slp,...tsp->...tsl", wi, yr))
+    return jnp.stack([outr, outi], axis=-1)
+
+
+def zf_weights(h_pair, noise_var_port, tx_scaling: float = 1.0):
+    """Zero-forcing weight matrices per subcarrier.
+
+    L = 1 follows the reference SIMO ZF closed form: matched filter over
+    ports divided by the combined channel energy, post-eq noise = nvar / c
+    (reference: lib/phy/upper/equalization/equalize_zf_1xn.h:43-96).
+    L >= 2 solves (H^H N^-1 H)^-1 H^H N^-1 (the reference's 2xN special case,
+    equalize_zf_2xn.h:44, generalized); noise whitening keeps the estimator
+    unbiased across ports with unequal noise.
+
+    Same signature/returns as `mmse_weights`.
+    """
+    h = to_cplx(h_pair) * tx_scaling
+    nlayers = h.shape[-1]
+    nvar = noise_var_port[..., None, :]
+
+    if nlayers == 1:
+        hs = h[..., 0]
+        ch_norm = jnp.abs(hs) ** 2
+        ok = jnp.isfinite(ch_norm) & (ch_norm > 0) & jnp.isfinite(nvar) & (nvar > 0)
+        ch_norm = jnp.where(ok, ch_norm, 0.0)
+        c = jnp.sum(ch_norm, axis=-1)
+        nvar_acc = jnp.sum(ch_norm * jnp.where(ok, nvar, 0.0), axis=-1)
+        good = jnp.isfinite(c) & (c > 1e-30) & jnp.isfinite(nvar_acc)
+        w = jnp.where(ok, jnp.conj(hs), 0.0) / jnp.where(good, c, 1.0)[..., None]
+        w = jnp.where(good[..., None], w, 0.0)
+        nvars = jnp.where(good, nvar_acc / jnp.where(good, c * c, 1.0), jnp.inf)
+        return from_cplx(w[..., None, :]), nvars[..., None]
+
+    ninv = 1.0 / jnp.maximum(nvar, 1e-38)
+    ah_n = jnp.conj(jnp.swapaxes(h, -1, -2)) * ninv[..., None, :]
+    a = jnp.einsum("...lp,...pk->...lk", ah_n, h)  # no +I: pure ZF
+
+    if nlayers == 2:
+        a00 = jnp.real(a[..., 0, 0])
+        a11 = jnp.real(a[..., 1, 1])
+        a01 = a[..., 0, 1]
+        det = a00 * a11 - jnp.abs(a01) ** 2
+        good = det > 1e-30
+        det = jnp.where(good, det, 1.0)
+        inv00 = (a11 / det).astype(h.dtype)
+        inv11 = (a00 / det).astype(h.dtype)
+        inv01 = -a01 / det
+        a_inv = jnp.stack([
+            jnp.stack([inv00, inv01], axis=-1),
+            jnp.stack([jnp.conj(inv01), inv11], axis=-1),
+        ], axis=-2)
+        a_inv = jnp.where(good[..., None, None], a_inv, 0.0)
+        nvars = jnp.where(good[..., None],
+                          jnp.real(jnp.diagonal(a_inv, axis1=-2, axis2=-1)),
+                          jnp.inf)
+    else:
+        a_inv = jnp.linalg.inv(a)
+        nvars = jnp.real(jnp.diagonal(a_inv, axis1=-2, axis2=-1))
+
+    w = jnp.einsum("...lk,...kp->...lp", a_inv, ah_n)
+    return from_cplx(w), nvars
+
+
+def equalize_zf_1xn(y_pair, h_pair, noise_var_port, tx_scaling: float = 1.0):
+    """ZF equalization of a single-layer transmission over N rx ports.
+
+    Same I/O convention as `equalize_mmse_1xn`
+    (reference: lib/phy/upper/equalization/equalize_zf_1xn.h:43-96).
+    """
+    w_pair, nvars = zf_weights(h_pair[..., None, :], noise_var_port, tx_scaling)
+    w = to_cplx(w_pair)[..., 0, :]  # (..., nre, P)
+    y = to_cplx(y_pair)
+    out = jnp.sum(w * y, axis=-1)
+    return from_cplx(out), nvars[..., 0]
+
+
 def equalize_mmse_general(y_pair, h_pair, noise_var_port, tx_scaling: float = 1.0):
     """MMSE for L layers over N ports via batched per-RE hermitian solves.
 

@@ -236,6 +236,232 @@ def _make_kernel_delta(bg: BaseGraph, z: int, nof_iterations: int,
     return kernel, g
 
 
+@functools.lru_cache(maxsize=None)
+def _packed_crc_mask(crc_name: str, kp: int, kb: int, z: int,
+                     final_dom: tuple[int, ...]) -> np.ndarray:
+    """(kb, 1, z) int32: bit j of [c, 0, i] = zero-basis CRC row j coefficient
+    for codeblock bit c*z+i, pre-rotated into each column's stored domain."""
+    from ..crc import crc_zero_basis, POLYS
+
+    order, _ = POLYS[crc_name]
+    basis = crc_zero_basis(crc_name, kp)  # (kp, order)
+    packed = np.zeros(kb * z, np.int32)
+    packed[:kp] = (basis.astype(np.int64) << np.arange(order, dtype=np.int64)).sum(-1).astype(np.int32)
+    packed = packed.reshape(kb, z)
+    for c in range(kb):
+        packed[c] = np.roll(packed[c], -final_dom[c])
+    return packed[:, None, :].copy()
+
+
+def _make_kernel_delta_es(bg: BaseGraph, z: int, max_iterations: int,
+                          scaling_factor: float, b_tile: int, crc_order: int):
+    """Delta-roll kernel with per-codeblock CRC-gated early stop.
+
+    Matches the reference's per-iteration CRC check + stop
+    (reference: lib/phy/upper/channel_coding/ldpc/ldpc_decoder_impl.cpp:116-135):
+    after every full layer sweep the CB CRC is evaluated on the systematic
+    hard decisions; a passing codeblock's output is snapshotted (bit-exact with
+    stopping it) and the whole batch tile exits once every CB has converged.
+    The CRC is a packed-int32 GF(2) dot: 24 parity bits ride the int32 lanes,
+    XOR-accumulated per systematic column, so the per-iteration check costs
+    ~kb fused ops.
+    """
+    g, rows = _row_edges(bg, z)
+    nv, m = g.n_full, g.m
+
+    final_dom = [0] * nv
+    for edges in rows:
+        for c, s in edges:
+            final_dom[c] = s
+
+    def kernel(llr_ref, mask_ref, out_ref, ok_ref, it_ref,
+               soft, min1, min2, amin, signs, sprod, out_soft, done, itcnt):
+        soft[0] = jnp.zeros((b_tile, z), jnp.int32)
+        soft[1] = jnp.zeros((b_tile, z), jnp.int32)
+        for c in range(2, nv):
+            x = llr_ref[c - 2].astype(jnp.int32)
+            soft[c] = pltpu.roll(x, (z - final_dom[c]) % z, axis=1)
+        min1[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        min2[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        amin[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        signs[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        sprod[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        out_soft[...] = jnp.zeros((g.kb, b_tile, z), jnp.int32)
+        done[...] = jnp.zeros((b_tile, z), jnp.int32)
+        itcnt[...] = jnp.full((b_tile, z), max_iterations, jnp.int32)
+
+        def cond(carry):
+            it, alldone = carry
+            return jnp.logical_and(it < max_iterations, alldone == 0)
+
+        def body(carry):
+            it, _ = carry
+            cur = list(final_dom)
+            for r, edges in enumerate(rows):
+                old_m1 = min1[r]
+                old_m2 = min2[r]
+                old_am = amin[r]
+                old_sb = signs[r]
+                old_sp = sprod[r]
+
+                v2cs = []
+                new_m1 = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
+                new_m2 = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
+                new_am = jnp.zeros((b_tile, z), jnp.int32)
+                new_sp = jnp.zeros((b_tile, z), jnp.int32)
+                new_sb = jnp.zeros((b_tile, z), jnp.int32)
+                for e, (c, s) in enumerate(edges):
+                    delta = (cur[c] - s) % z
+                    soft_chk = pltpu.roll(soft[c], delta, axis=1) if delta else soft[c]
+                    old_sign_e = jnp.bitwise_and(old_sb >> e, 1)
+                    old_mag = jnp.where(old_am == e, old_m2, old_m1)
+                    c2v_old = jnp.where((old_sp ^ old_sign_e) == 1, -old_mag, old_mag)
+                    v2c = _sat_sub(soft_chk, c2v_old)
+                    v2cs.append(v2c)
+
+                    absv = jnp.abs(v2c)
+                    sign = (v2c < 0).astype(jnp.int32)
+                    is_min = absv < new_m1
+                    new_m2 = jnp.where(is_min, new_m1, jnp.minimum(new_m2, absv))
+                    new_am = jnp.where(is_min, e, new_am)
+                    new_m1 = jnp.where(is_min, absv, new_m1)
+                    new_sp = new_sp ^ sign
+                    new_sb = new_sb | (sign << e)
+
+                s_m1 = _scale(new_m1, scaling_factor)
+                s_m2 = _scale(new_m2, scaling_factor)
+
+                for e, (c, s) in enumerate(edges):
+                    v2c = v2cs[e]
+                    sign_e = jnp.bitwise_and(new_sb >> e, 1)
+                    mag = jnp.where(new_am == e, s_m2, s_m1)
+                    c2v = jnp.where((new_sp ^ sign_e) == 1, -mag, mag)
+                    soft[c] = _promotion_sum(c2v, v2c)
+                    cur[c] = s
+
+                min1[r] = s_m1
+                min2[r] = s_m2
+                amin[r] = new_am
+                signs[r] = new_sb
+                sprod[r] = new_sp
+
+            # CRC over the systematic hard decisions (cur == final_dom here,
+            # the mask is pre-rotated to the stored domains): 24 GF(2) parity
+            # bits packed into int32 lanes, XOR-accumulated per column.
+            acc = jnp.zeros((b_tile, z), jnp.int32)
+            for c in range(g.kb):
+                hard = (soft[c] <= 0).astype(jnp.int32)
+                acc = acc ^ (hard * mask_ref[c])
+            bad = jnp.zeros((b_tile, 1), jnp.int32)
+            for j in range(crc_order):
+                bad = bad | (jnp.sum((acc >> j) & 1, axis=1, keepdims=True) % 2)
+            ok = (bad == 0).astype(jnp.int32)  # (b, 1)
+
+            was_done = done[:, 0:1]
+            newly = ok * (1 - was_done)  # (b, 1)
+            for c in range(g.kb):
+                out_soft[c] = jnp.where(newly > 0, soft[c], out_soft[c])
+            itcnt[...] = jnp.where(newly > 0, it + 1, itcnt[...])
+            done_new = jnp.where(was_done + newly > 0,
+                                 jnp.ones((b_tile, 1), jnp.int32),
+                                 jnp.zeros((b_tile, 1), jnp.int32))
+            done[...] = jnp.broadcast_to(done_new, (b_tile, z))
+            alldone = jnp.min(done_new).astype(jnp.int32)
+            return it + 1, alldone
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+
+        dmask = done[...]
+        for c in range(g.kb):
+            final = jnp.where(dmask > 0, out_soft[c], soft[c])
+            back = pltpu.roll(final, final_dom[c] % z, axis=1) if final_dom[c] % z else final
+            out_ref[c] = jnp.clip(back, -LLR_INFTY, LLR_INFTY).astype(jnp.int8)
+        ok_ref[...] = dmask.astype(jnp.int8)
+        it_ref[...] = itcnt[...]
+
+    return kernel, g, tuple(final_dom)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def ldpc_decode_pallas_es(
+    llrs,
+    bg: BaseGraph,
+    z: int,
+    crc_name: str,
+    nof_crc_covered_bits: int,
+    max_iterations: int = 6,
+    scaling_factor: float = 0.8,
+    b_tile: int = DEFAULT_B_TILE,
+):
+    """Early-stopping delta-roll Pallas decoder.
+
+    llrs (B, N) int8 as in ldpc_decode_pallas.  `crc_name`/`nof_crc_covered_bits`
+    describe the CB CRC: the first `nof_crc_covered_bits` systematic bits
+    (payload + attached CRC, filler excluded) must form a codeword of the CRC
+    polynomial.  Iteration stops per batch tile once every codeblock's CRC
+    passes; converged codeblocks' outputs are snapshotted at their convergence
+    iteration (bit-exact with the reference's per-CB stop,
+    lib/phy/upper/channel_coding/ldpc/ldpc_decoder_impl.cpp:126-134).
+
+    Returns (hard (B, K) uint8, soft_info (B, K) int8, crc_ok (B,) bool,
+    nof_iterations_used (B,) int32).
+    """
+    from ..crc import POLYS
+
+    order, _ = POLYS[crc_name]
+    kernel, g, final_dom = _make_kernel_delta_es(
+        bg, z, max_iterations, float(scaling_factor), b_tile, order)
+    mask = _packed_crc_mask(crc_name, nof_crc_covered_bits, g.kb, z, final_dom)
+    b = llrs.shape[0]
+    pad = (-b) % b_tile
+    if pad:
+        # Pad with +INFTY (strong zero bits): the pad rows' all-zero hard
+        # decision passes any CRC, so they never hold the while loop open.
+        llrs = jnp.concatenate(
+            [llrs, jnp.full((pad, llrs.shape[1]), LLR_INFTY, llrs.dtype)], 0)
+    bp = llrs.shape[0]
+    x = jnp.transpose(llrs.reshape(bp, g.n_full - 2, z), (1, 0, 2))
+
+    dev = jax.devices()[0]
+    interpret = not (dev.platform == "tpu" or "TPU" in str(dev))
+    out, ok, iters = pl.pallas_call(
+        kernel,
+        grid=(bp // b_tile,),
+        in_specs=[
+            pl.BlockSpec((g.n_full - 2, b_tile, z), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g.kb, 1, z), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g.kb, b_tile, z), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, z), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, z), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g.kb, bp, z), jnp.int8),
+            jax.ShapeDtypeStruct((bp, z), jnp.int8),
+            jax.ShapeDtypeStruct((bp, z), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g.n_full, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.kb, b_tile, z), jnp.int32),
+            pltpu.VMEM((b_tile, z), jnp.int32),
+            pltpu.VMEM((b_tile, z), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x, jnp.asarray(mask))
+    soft_info = jnp.transpose(out, (1, 0, 2)).reshape(bp, g.kb * z)[:b]
+    hard = (soft_info <= 0).astype(jnp.uint8)
+    return hard, soft_info, ok[:b, 0].astype(bool), iters[:b, 0]
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def ldpc_decode_pallas(
     llrs,
