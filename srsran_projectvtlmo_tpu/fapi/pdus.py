@@ -42,6 +42,18 @@ class PdcchPdu:
     n_rnti: int = 0
     #: First RB of the CORESET region used by this candidate.
     coreset_rb_start: int = 0
+    #: CORESET width in RBs (contiguous frequency resources).
+    coreset_nof_rb: int = 96
+    #: CORESET duration in OFDM symbols (1-3).
+    duration: int = 1
+    #: CCE-to-REG mapping (TS 38.211 Section 7.3.2.2; reference:
+    #: lib/ran/pdcch/cce_to_prb_mapping.cpp): non-interleaved (6 consecutive
+    #: REGs per CCE) or interleaved with REG bundles of `reg_bundle_size`
+    #: permuted by f(x) = (r*C + c + shift_index) mod (N_REG/L).
+    interleaved: bool = False
+    reg_bundle_size: int = 6
+    interleaver_size: int = 2
+    shift_index: int = 0
 
 
 @dataclass(frozen=True)
@@ -57,6 +69,40 @@ class PdschPdu:
     nof_symbols: int = 12
     dmrs_symbols: tuple[int, ...] = (2,)
     n_id: int = 0
+    #: Precoding matrix, (nof_tx_ports rows) x (nof_layers cols) of (re, im)
+    #: pairs; None = identity layer->port mapping (reference:
+    #: include/srsran/phy/generic_functions/precoding/channel_precoder.h:49-61).
+    precoding: tuple[tuple[tuple[float, float], ...], ...] | None = None
+
+
+@dataclass(frozen=True)
+class CsiRsPdu:
+    """NZP-CSI-RS (row-2 density-1) PDU (reference:
+    lib/fapi_adaptor/phy/fapi_to_phy_translator.cpp:336-351 process_csi)."""
+
+    nof_rb: int
+    prb_start: int = 0
+    symbol: int = 4
+    subcarrier_offset: int = 0
+    scrambling_id: int = 0
+
+
+@dataclass(frozen=True)
+class SrsPdu:
+    """Sounding reference signal PDU (reference:
+    lib/phy/upper/uplink_processor_impl.cpp process_srs,
+    lib/phy/upper/signal_processors/srs/srs_estimator_generic_impl.cpp)."""
+
+    rnti: int
+    nof_rb: int
+    comb_size: int = 2
+    comb_offset: int = 0
+    start_symbol: int = 13
+    nof_symbols: int = 1
+    sequence_id: int = 0
+    cyclic_shift: int = 0
+    nof_antenna_ports: int = 1
+    prb_start: int = 0
 
 
 @dataclass(frozen=True)
@@ -110,6 +156,7 @@ class DlTtiRequest:
     ssb: tuple[SsbPdu, ...] = ()
     pdcch: tuple[PdcchPdu, ...] = ()
     pdsch: tuple[PdschPdu, ...] = ()
+    csi_rs: tuple[CsiRsPdu, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -118,6 +165,7 @@ class UlTtiRequest:
     pusch: tuple[PuschPdu, ...] = ()
     pucch: tuple[PucchPdu, ...] = ()
     prach: tuple[PrachPdu, ...] = ()
+    srs: tuple[SrsPdu, ...] = ()
 
 
 @dataclass
@@ -158,3 +206,16 @@ class UciIndication:
 class RachIndication:
     slot: int
     preambles: list[tuple[int, float, float]]  # (index, ta_samples, metric)
+
+
+@dataclass
+class SrsIndication:
+    """SRS channel-estimate report (reference: srs_indication in
+    include/srsran/fapi/messages.h; wideband metrics per antenna pair)."""
+
+    slot: int
+    rnti: int
+    #: (rx_ports, sequence_length) complex channel estimate on the comb.
+    channel: np.ndarray
+    noise_var: float
+    time_alignment_s: float

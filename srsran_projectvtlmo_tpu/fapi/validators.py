@@ -212,6 +212,32 @@ def validate_prach(pdu: pdus.PrachPdu, rep: ValidatorReport) -> None:
                 "0 (unrestricted; restricted type A/B pending)")
 
 
+def validate_csi_rs(pdu: pdus.CsiRsPdu, rep: ValidatorReport) -> None:
+    """reference: lib/fapi/validators/dl_csi_pdu.cpp."""
+    m, p = "dl_tti_request", "CSI-RS"
+    _in_range(rep, m, p, "Nr of RB", pdu.nof_rb, 1, MAX_NOF_PRBS)
+    _in_range(rep, m, p, "Start RB", pdu.prb_start, 0, MAX_NOF_PRBS - 1)
+    _in_range(rep, m, p, "Symbol", pdu.symbol, 0, 13)
+    _in_range(rep, m, p, "Subcarrier offset", pdu.subcarrier_offset, 0, 11)
+    _in_range(rep, m, p, "Scrambling id", pdu.scrambling_id, 0, 1023)
+
+
+def validate_srs(pdu: pdus.SrsPdu, rep: ValidatorReport) -> None:
+    """reference: lib/fapi/validators/ul_srs_pdu.cpp + srs_estimator envelope."""
+    m, p = "ul_tti_request", "SRS"
+    _in_range(rep, m, p, "Nr of RB", pdu.nof_rb, 4, MAX_NOF_PRBS)
+    if pdu.comb_size not in (2, 4):
+        rep.add(m, p, "Comb size", pdu.comb_size, "2 or 4")
+    _in_range(rep, m, p, "Comb offset", pdu.comb_offset, 0, pdu.comb_size - 1)
+    _in_range(rep, m, p, "Start symbol", pdu.start_symbol, 0, 13)
+    _in_range(rep, m, p, "Nr of symbols", pdu.nof_symbols, 1, 4)
+    _in_range(rep, m, p, "Sequence id", pdu.sequence_id, 0, 1023)
+    nmax = 8 if pdu.comb_size == 2 else 12
+    _in_range(rep, m, p, "Cyclic shift", pdu.cyclic_shift, 0, nmax - 1)
+    if pdu.nof_antenna_ports not in (1, 2, 4):
+        rep.add(m, p, "Nr of antenna ports", pdu.nof_antenna_ports, "1, 2 or 4")
+
+
 def validate_dl_tti_request(req: pdus.DlTtiRequest) -> ValidatorReport:
     """Whole-message validation (reference: lib/fapi/message_validators.cpp)."""
     rep = ValidatorReport()
@@ -221,6 +247,8 @@ def validate_dl_tti_request(req: pdus.DlTtiRequest) -> ValidatorReport:
         validate_pdcch(pdu, rep)
     for pdu in req.pdsch:
         validate_pdsch(pdu, rep)
+    for pdu in req.csi_rs:
+        validate_csi_rs(pdu, rep)
     return rep
 
 
@@ -232,6 +260,8 @@ def validate_ul_tti_request(req: pdus.UlTtiRequest) -> ValidatorReport:
         validate_pucch(pdu, rep)
     for pdu in req.prach:
         validate_prach(pdu, rep)
+    for pdu in req.srs:
+        validate_srs(pdu, rep)
     return rep
 
 

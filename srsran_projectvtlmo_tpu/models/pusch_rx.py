@@ -363,7 +363,13 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             csi2_llr = csi2_llr * jnp.asarray(csi2_fix, jnp.int32)
             uci_out["csi2_bits"], uci_out["csi2_metric"] = decode_uci_field(
                 csi2_llr, cfg.nof_csi_part2_bits, qm)
-        sch_llr = llr[:, jnp.asarray(plan.sch_bit_idx)]
+        # The no-UCI placement is the identity: skip the 5M-element gather.
+        sch_idx = np.asarray(plan.sch_bit_idx)
+        if len(sch_idx) == llr.shape[-1] and np.array_equal(
+                sch_idx, np.arange(llr.shape[-1])):
+            sch_llr = llr
+        else:
+            sch_llr = llr[:, jnp.asarray(sch_idx)]
 
         # Batch codeblocks with equal rate-match size into one dematch gather
         # (typically <= 2 groups): CBs are a batch axis, not a loop.

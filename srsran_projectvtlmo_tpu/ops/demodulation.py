@@ -41,6 +41,52 @@ def _demap_tables(mod: Modulation):
     return c_pair, c_norm, bits
 
 
+@functools.lru_cache(maxsize=None)
+def _demap_axis_tables(mod: Modulation):
+    """Per-axis separable demap tables for square Gray QAM.
+
+    3GPP square QAM is a product of two Gray PAM axes (I bits = even bit
+    positions, Q bits = odd): |y - c|^2 = (re - cI)^2 + (im - cQ)^2, so the
+    Q-axis minimum cancels in every I-bit max-log LLR and vice versa.  This
+    cuts the distance-metric working set from M points to 2*sqrt(M).
+
+    Returns (pam (Mp,), bit_axis (Qm,) 0=I/1=Q, bits_pam (Mp, Qm) bool) or
+    None when the constellation is not separable (BPSK variants).
+    """
+    pts = constellation(mod)
+    qm = bits_per_symbol(mod)
+    if qm < 2:
+        return None
+    m = len(pts)
+    idx = np.arange(m)
+    bits = ((idx[:, None] >> np.arange(qm - 1, -1, -1)[None, :]) & 1).astype(bool)
+    re, im = pts.real.astype(np.float32), pts.imag.astype(np.float32)
+    pam = np.unique(re)
+    if len(pam) * len(pam) != m or not np.array_equal(pam, np.unique(im)):
+        return None
+    bit_axis = np.zeros(qm, np.int8)
+    bits_pam = np.zeros((len(pam), qm), bool)
+    for b in range(qm):
+        # A bit is I-axis iff its value is a function of re alone.
+        by_re = {}
+        axis_i = True
+        for j in range(m):
+            key = re[j]
+            if key in by_re and by_re[key] != bits[j, b]:
+                axis_i = False
+                break
+            by_re[key] = bits[j, b]
+        bit_axis[b] = 0 if axis_i else 1
+        vals = re if axis_i else im
+        for pi, level in enumerate(pam):
+            js = np.flatnonzero(vals == level)
+            vset = np.unique(bits[js, b])
+            if len(vset) != 1:
+                return None  # not separable on this axis
+            bits_pam[pi, b] = bool(vset[0])
+    return pam.astype(np.float32), bit_axis, bits_pam
+
+
 def soft_demap(symbols_pair, noise_var, mod: Modulation):
     """Max-log soft demapping.
 
@@ -60,18 +106,37 @@ def soft_demap(symbols_pair, noise_var, mod: Modulation):
         odd = (jnp.arange(n) % 2 == 1)[..., None]
         rot = jnp.stack([symbols_pair[..., 1], -symbols_pair[..., 0]], -1)
         symbols_pair = jnp.where(odd, rot, symbols_pair)
-    # (..., nsym, M) distance metrics via one matmul.
-    cross = jnp.matmul(symbols_pair.astype(jnp.float32), jnp.asarray(c_pair).T,
-                       preferred_element_type=jnp.float32)
-    metric = jnp.asarray(c_norm) - 2.0 * cross
+    axis_tabs = _demap_axis_tables(mod)
     inf = jnp.float32(np.inf)
-    llrs = []
-    for b in range(qm):
-        mask1 = jnp.asarray(bits[:, b])
-        min1 = jnp.min(jnp.where(mask1, metric, inf), axis=-1)
-        min0 = jnp.min(jnp.where(mask1, inf, metric), axis=-1)
-        llrs.append(min1 - min0)
-    llr = jnp.stack(llrs, axis=-1)  # (..., nsym, Qm)
+    if axis_tabs is not None:
+        # Separable Gray QAM: per-axis PAM distances only (16 points for
+        # QAM256 instead of 256) — the cross-axis minimum cancels exactly.
+        pam, bit_axis, bits_pam = axis_tabs
+        x = symbols_pair.astype(jnp.float32)
+        pam_j = jnp.asarray(pam)
+        # (..., nsym, 2, Mp): (axis coord - level)^2 without the x^2 term.
+        metric_ax = pam_j**2 - 2.0 * x[..., None] * pam_j
+        llrs = []
+        for b in range(qm):
+            mask1 = jnp.asarray(bits_pam[:, b])
+            ax = int(bit_axis[b])
+            met = metric_ax[..., ax, :]
+            min1 = jnp.min(jnp.where(mask1, met, inf), axis=-1)
+            min0 = jnp.min(jnp.where(mask1, inf, met), axis=-1)
+            llrs.append(min1 - min0)
+        llr = jnp.stack(llrs, axis=-1)
+    else:
+        # (..., nsym, M) distance metrics via one matmul.
+        cross = jnp.matmul(symbols_pair.astype(jnp.float32), jnp.asarray(c_pair).T,
+                           preferred_element_type=jnp.float32)
+        metric = jnp.asarray(c_norm) - 2.0 * cross
+        llrs = []
+        for b in range(qm):
+            mask1 = jnp.asarray(bits[:, b])
+            min1 = jnp.min(jnp.where(mask1, metric, inf), axis=-1)
+            min0 = jnp.min(jnp.where(mask1, inf, metric), axis=-1)
+            llrs.append(min1 - min0)
+        llr = jnp.stack(llrs, axis=-1)  # (..., nsym, Qm)
     # Scale by 1/noise_var; zero/neg variance yields LLR 0 (reference safe_div).
     nv = noise_var[..., None]
     llr = jnp.where(nv > 0, llr / jnp.maximum(nv, 1e-38), 0.0)

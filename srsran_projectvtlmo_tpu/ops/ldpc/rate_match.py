@@ -110,6 +110,37 @@ def rate_dematch_gather_plan(bg: BaseGraph, z: int, nof_filler: int, rv: int,
     return src, filler
 
 
+@functools.lru_cache(maxsize=None)
+def rate_dematch_slice_plan(bg: BaseGraph, z: int, nof_filler: int, rv: int,
+                            e: int, qm: int):
+    """Slice-plan fast path: when no circular-buffer wrap occurs (code rate
+    above 1/3, the operating regime), the dematch is a block deinterleave
+    (a reshape/transpose) followed by a handful of contiguous copies — no
+    gather at all.  Returns (runs [(dst, src, len)], gaps {dst: np int8 vals})
+    or None when repetition/wrap forces the gather path.
+    """
+    n_nodes = 66 if bg == BaseGraph.BG1 else 50
+    kb = 22 if bg == BaseGraph.BG1 else 10
+    n = n_nodes * z
+    k0 = k0_index(bg, rv, n, z)
+    filler = np.zeros(n, dtype=bool)
+    filler[kb * z - 2 * z - nof_filler:kb * z - 2 * z] = True
+    order = (k0 + np.arange(n)) % n
+    valid = order[~filler[order]]
+    if e > len(valid):
+        return None  # repetition: gather path
+    sel = valid[:e]
+    if not np.all(np.diff(sel) >= 1):
+        return None  # wrapped selection
+    # Contiguous runs of sel.
+    breaks = np.flatnonzero(np.diff(sel) != 1)
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks + 1, [len(sel)]])
+    runs = [(int(sel[a]), int(a), int(b - a)) for a, b in zip(starts, ends)]
+    gap_vals = np.where(filler, LLR_INFTY, 0).astype(np.int8)
+    return runs, gap_vals, n
+
+
 def rate_dematch(llrs, bg: BaseGraph, z: int, nof_filler: int, rv: int, e: int, qm: int):
     """Rx: (..., E) int8 LLRs -> (..., N) int8 circular-buffer LLRs.
 
@@ -117,6 +148,27 @@ def rate_dematch(llrs, bg: BaseGraph, z: int, nof_filler: int, rv: int, e: int, 
     fixed to +LLR_INFTY (bit surely 0); unseen positions are 0. Leading axes
     (batch, codeblock) are free batch dims.
     """
+    plan = rate_dematch_slice_plan(bg, z, nof_filler, rv, e, qm)
+    if plan is not None:
+        runs, gap_vals, n = plan
+        # Deinterleave (Section 5.4.2.2 inverse) as a transpose.
+        x = jnp.swapaxes(llrs.reshape(llrs.shape[:-1] + (e // qm, qm)), -1, -2)
+        x = x.reshape(llrs.shape[:-1] + (e,))
+        x = jnp.clip(x, -LLR_MAX, LLR_MAX)
+        lead = llrs.shape[:-1]
+        parts = []
+        pos = 0
+        for dst, src, ln in runs:
+            if dst > pos:
+                parts.append(jnp.broadcast_to(
+                    jnp.asarray(gap_vals[pos:dst]), lead + (dst - pos,)))
+            parts.append(x[..., src:src + ln])
+            pos = dst + ln
+        if pos < n:
+            parts.append(jnp.broadcast_to(
+                jnp.asarray(gap_vals[pos:n]), lead + (n - pos,)))
+        return jnp.concatenate(parts, axis=-1)
+
     src, filler = rate_dematch_gather_plan(bg, z, nof_filler, rv, e, qm)
     acc = jnp.zeros(llrs.shape[:-1] + (len(filler),), jnp.int32)
     x = llrs.astype(jnp.int32)

@@ -27,7 +27,7 @@ class _Reservation:
 class RxBufferPool:
     """Host-managed reservation map over a device soft-buffer arena."""
 
-    def __init__(self, nof_buffers: int = 16, max_codeblocks: int = 40,
+    def __init__(self, nof_buffers: int = 16, max_codeblocks: int = 162,
                  max_cb_size: int = 66 * 384, expiry_slots: int = 100):
         self.nof_buffers = nof_buffers
         self.max_codeblocks = max_codeblocks
@@ -56,6 +56,14 @@ class RxBufferPool:
         self._reservations[key] = _Reservation(idx, slot + self.expiry_slots, nof_cb)
         self._soft = self._soft.at[idx, :nof_cb].set(0)
         return idx
+
+    def get_soft(self, buffer_index: int, nof_cb: int, cb_size: int):
+        """Device view of the stored soft bits: (nof_cb, cb_size) int8."""
+        return self._soft[buffer_index, :nof_cb, :cb_size]
+
+    def store(self, buffer_index: int, nof_cb: int, cb_size: int, soft) -> None:
+        """Replace the buffer contents with `soft` ((nof_cb, cb_size) int8)."""
+        self._soft = self._soft.at[buffer_index, :nof_cb, :cb_size].set(soft)
 
     def combined(self, buffer_index: int, nof_cb: int, cb_size: int, new_llrs):
         """Promotion-sum `new_llrs` (B=1 layout (nof_cb, cb_size)) into the buffer.

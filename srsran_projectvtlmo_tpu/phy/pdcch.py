@@ -84,6 +84,26 @@ def pdcch_modulate(cfg: PdcchCandidateConfig, dci_bits: np.ndarray) -> np.ndarra
     return modulate_np(scr, Modulation.QPSK)
 
 
+def pdcch_dmrs_values(slot: int, start_symbol: int, duration: int,
+                      prbs, n_id: int) -> np.ndarray:
+    """DM-RS pilot values for a candidate, ordered (symbol, prb, k in {1,5,9}).
+
+    The Gold sequence is CRB-indexed (3 pilots per PRB from reference point 0)
+    with per-symbol c_init (TS 38.211 Section 7.4.1.3).
+    """
+    vals = []
+    mmax = (max(prbs) + 1) * 3
+    for sym in range(start_symbol, start_symbol + duration):
+        cinit = ((1 << 17) * (14 * slot + sym + 1) * (2 * n_id + 1)
+                 + 2 * n_id) % (1 << 31)
+        bits = prg_mod.gold_sequence_bits(cinit, 2 * mmax).astype(np.float32)
+        v = (1.0 - 2.0 * bits) / np.sqrt(2.0)
+        pil = (v[0::2] + 1j * v[1::2]).astype(np.complex64)
+        for prb in prbs:
+            vals.extend(pil[3 * prb:3 * prb + 3])
+    return np.asarray(vals, np.complex64)
+
+
 def pdcch_blind_decode(rx_syms_pair, noise_var, cfg: PdcchCandidateConfig):
     """Attempt decoding one candidate from (B, E/2, 2) equalized symbols.
 

@@ -26,9 +26,7 @@ from ..fapi.pdus import (
     DlTtiRequest, UlTtiRequest, TxDataRequest,
     CrcIndication, RxDataIndication, UciIndication, RachIndication,
 )
-from ..models.pdsch_tx import PdschTxConfig
 from ..models.pusch_rx import PuschRxConfig, cached_pusch_rx_from_grid
-from ..models.sch_tx import build_sch_symbols_tx
 from ..ops import ofdm as ofdm_mod
 from ..ops import prach as prach_mod
 from ..ops.dmrs import dmrs_type1_sequence
@@ -80,7 +78,12 @@ class UpperPhy:
                         validate: bool = True):
         """Build the DL slot and return (grid (nports, nsym, nsubc) complex64
         -- squeezed to (nsym, nsubc) for single-port cells -- and the OFDM
-        samples (..., nsamples, 2) float32 numpy)."""
+        samples (..., nsamples, 2) float32 numpy).
+
+        All RE mapping (PDSCH with precoding, PDCCH, SSB, CSI-RS) happens in
+        one fused device program (`phy.dl_slot.DlSlotProgram`); this method
+        only computes the slot-dependent pilot/DCI values on the host.
+        """
         if validate:
             from ..fapi import validators as _v
 
@@ -91,20 +94,27 @@ class UpperPhy:
                 raise FapiValidationError(rep)
         cfg = self.cfg
         slot = request.slot
-        ports = np.zeros((cfg.nof_tx_ports, 14, cfg.nof_subc), np.complex64)
-        grid = ports[0]  # SSB and PDCCH map to the first antenna port
+        from . import dl_slot as dl_mod
 
-        for ssb in request.ssb:
-            msg = pbch_mod.PbchMessage(
-                sfn=ssb.sfn, ssb_idx=ssb.ssb_block_index,
-                half_radio_frame=ssb.half_radio_frame, n_id=ssb.phys_cell_id,
-                l_max=ssb.l_max, mib_payload=ssb.mib_payload,
-            )
-            ssb_grid = pbch_mod.assemble_ssb(msg)
-            k0 = cfg.ssb_subc_offset + ssb.ssb_offset_pointa * 12
-            grid[0:4, k0:k0 + pbch_mod.SSB_NSUBC] += ssb_grid
+        program = dl_mod.get_dl_slot_program(request, cfg)
 
-        for pdu in request.pdcch:
+        tb_bits = []
+        pdsch_dmrs = []
+        for i, pdu in enumerate(request.pdsch):
+            sch_cfg = program.pdsch_cfgs[i]
+            tb = (tx_data.tb_bits[i] if tx_data is not None
+                  else np.zeros(sch_cfg.tbs, np.uint8))
+            assert len(tb) == sch_cfg.tbs, f"TB size {len(tb)} != {sch_cfg.tbs}"
+            tb_bits.append(jnp.asarray(np.asarray(tb, np.uint8)))
+            ref = np.stack([
+                dmrs_type1_sequence(slot, s, pdu.n_id, pdu.rb_size,
+                                    prb_start=pdu.rb_start)
+                for s in pdu.dmrs_symbols
+            ])
+            pdsch_dmrs.append(jnp.asarray(np_to_pair(ref)))
+
+        pdcch_syms, pdcch_dmrs = [], []
+        for i, pdu in enumerate(request.pdcch):
             syms = pdcch_mod.pdcch_modulate(
                 pdcch_mod.PdcchCandidateConfig(
                     nof_dci_bits=pdu.nof_dci_bits,
@@ -113,20 +123,38 @@ class UpperPhy:
                 ),
                 self._dci_payload(pdu),
             )
-            # Non-interleaved CCE-to-REG mapping: 6 consecutive RBs per CCE in
-            # the CORESET, DM-RS on subcarriers {1,5,9} of each RB.
-            rb0 = (cfg.coreset_rb_start + pdu.coreset_rb_start) + pdu.cce_index * 6
-            self._map_pdcch(grid, slot, pdu.start_symbol, rb0, pdu.aggregation_level, syms, pdu)
+            pdcch_syms.append(jnp.asarray(np_to_pair(syms)))
+            pil = pdcch_mod.pdcch_dmrs_values(
+                slot, pdu.start_symbol, pdu.duration, program.pdcch_prbs[i],
+                pdu.n_id)
+            pdcch_dmrs.append(jnp.asarray(np_to_pair(pil)))
 
-        for i, pdu in enumerate(request.pdsch):
-            tb = tx_data.tb_bits[i] if tx_data is not None else None
-            self._map_pdsch(ports, slot, pdu, tb)
+        ssb_grids = []
+        for ssb in request.ssb:
+            msg = pbch_mod.PbchMessage(
+                sfn=ssb.sfn, ssb_idx=ssb.ssb_block_index,
+                half_radio_frame=ssb.half_radio_frame, n_id=ssb.phys_cell_id,
+                l_max=ssb.l_max, mib_payload=ssb.mib_payload,
+            )
+            ssb_grids.append(jnp.asarray(np_to_pair(pbch_mod.assemble_ssb(msg))))
 
-        out_grid = ports[0] if cfg.nof_tx_ports == 1 else ports
-        pair = jnp.asarray(np_to_pair(out_grid))
-        samples = ofdm_mod.ofdm_modulate(
-            pair, cfg.dft_size, cfg.numerology, slot % (1 << cfg.numerology)
-        )
+        csi_vals = []
+        for pdu in request.csi_rs:
+            from ..ops.csi_rs import CsiRsConfig, csi_rs_sequence
+
+            seq = csi_rs_sequence(CsiRsConfig(
+                nof_rb=pdu.nof_rb, prb_start=pdu.prb_start, symbol=pdu.symbol,
+                subcarrier_offset=pdu.subcarrier_offset,
+                scrambling_id=pdu.scrambling_id, slot=slot,
+            ))
+            csi_vals.append(jnp.asarray(np_to_pair(seq)))
+
+        grid_pair, samples = program.run(
+            slot, tb_bits, pdsch_dmrs, pdcch_syms, pdcch_dmrs, ssb_grids, csi_vals)
+        out_grid = pair_to_np(to_host(grid_pair))
+        if cfg.nof_tx_ports == 1:
+            out_grid = out_grid[0]
+            samples = samples[0]
         return out_grid, to_host(samples)
 
     def _dci_payload(self, pdu) -> np.ndarray:
@@ -135,75 +163,6 @@ class UpperPhy:
         if payload is None:
             return np.zeros(pdu.nof_dci_bits, np.uint8)
         return np.asarray(payload, np.uint8)
-
-    def _map_pdcch(self, grid, slot, start_symbol, rb0, aggregation_level, syms, pdu):
-        """Place candidate symbols + DM-RS over `aggregation_level` CCEs."""
-        from ..ops import prg as prg_mod
-
-        si = 0
-        for cce in range(aggregation_level):
-            for rb in range(6):
-                k0 = (rb0 + cce * 6 + rb) * 12
-                for k in range(12):
-                    if k % 4 == 1:
-                        continue  # DM-RS positions {1, 5, 9}
-                    grid[start_symbol, k0 + k] = syms[si]
-                    si += 1
-        # DM-RS: Gold QPSK over the candidate's REGs (TS 38.211 Section 7.4.1.3).
-        cinit = ((1 << 17) * (14 * slot + start_symbol + 1) * (2 * pdu.n_id + 1) + 2 * pdu.n_id) % (1 << 31)
-        npil = aggregation_level * 6 * 3
-        m0 = (rb0) * 3
-        bits = prg_mod.gold_sequence_bits(cinit, 2 * (m0 + npil)).astype(np.float32)[2 * m0:]
-        vals = (1 - 2 * bits) / np.sqrt(2)
-        pil = (vals[0::2] + 1j * vals[1::2]).astype(np.complex64)
-        pi = 0
-        for cce in range(aggregation_level):
-            for rb in range(6):
-                k0 = (rb0 + cce * 6 + rb) * 12
-                for k in (1, 5, 9):
-                    grid[start_symbol, k0 + k] = pil[pi]
-                    pi += 1
-
-    def _map_pdsch(self, ports, slot, pdu, tb_bits):
-        """Map one PDSCH onto the antenna-port grids with identity-style
-        precoding (layer l -> port l mod P; reference resource_grid_mapper
-        applies the configured precoding matrix per RE pattern)."""
-        cfg = self.cfg
-        grid = ports if ports.ndim == 2 else ports[0]
-        sch_cfg = PdschTxConfig(
-            nof_rb=pdu.rb_size, modulation=pdu.modulation,
-            target_code_rate=pdu.target_code_rate, nof_layers=pdu.nof_layers,
-            nof_ofdm_symbols=pdu.nof_symbols, dmrs_symbols=tuple(
-                s - pdu.start_symbol for s in pdu.dmrs_symbols
-            ),
-            rv=pdu.rv, rnti=pdu.rnti, n_id=pdu.n_id,
-            dft_size=cfg.dft_size, numerology=cfg.numerology, slot=slot,
-        )
-        if tb_bits is None:
-            tb_bits = np.zeros(sch_cfg.tbs, np.uint8)
-        assert len(tb_bits) == sch_cfg.tbs, f"TB size {len(tb_bits)} != {sch_cfg.tbs}"
-        syms = to_host(build_sch_symbols_tx(sch_cfg)(jnp.asarray(tb_bits[None])))[0]
-        nl = pdu.nof_layers
-        port_grids = ports if ports.ndim == 3 else ports[None]
-        # Layer map: x_l(i) = d(nl*i + l); identity precoding layer->port.
-        layers = syms.reshape(-1, nl).T.reshape(nl, len(sch_cfg.data_symbols),
-                                                sch_cfg.nof_subc)
-        k0 = pdu.rb_start * 12
-        di = 0
-        occ = np.ones((nl, 6 * pdu.rb_size), np.float32)
-        if nl == 2:
-            occ[1, 1::2] = -1.0
-        for s in range(pdu.nof_symbols):
-            sym = pdu.start_symbol + s
-            if sym in pdu.dmrs_symbols:
-                ref = dmrs_type1_sequence(slot, sym, pdu.n_id, pdu.rb_size,
-                                          prb_start=pdu.rb_start)
-                for l in range(nl):
-                    port_grids[l % port_grids.shape[0]][sym, k0:k0 + sch_cfg.nof_subc][0::2] = ref * occ[l]
-            else:
-                for l in range(nl):
-                    port_grids[l % port_grids.shape[0]][sym, k0:k0 + sch_cfg.nof_subc] = layers[l, di]
-                di += 1
 
     # ------------------------------------------------------------------ UL --
 
@@ -230,7 +189,7 @@ class UpperPhy:
         indications: list = []
 
         grid = None
-        if request.pusch or request.pucch:
+        if request.pusch or request.pucch or request.srs:
             grid = ofdm_mod.ofdm_demodulate(
                 jnp.asarray(samples), cfg.nof_subc, cfg.dft_size, cfg.numerology,
                 slot % (1 << cfg.numerology),
@@ -241,6 +200,9 @@ class UpperPhy:
 
         for pdu in request.pucch:
             indications.append(self._process_pucch(slot, pdu, grid))
+
+        for pdu in request.srs:
+            indications.append(self._process_srs(slot, pdu, grid, samples))
 
         if prach_samples is not None:
             for pdu in request.prach:
@@ -275,16 +237,13 @@ class UpperPhy:
             slot, pdu.rnti, pdu.harq_id, seg.nof_cb, new_data=pdu.new_data
         )
         rx = cached_pusch_rx_from_grid(rx_cfg)
+        n = seg.nof_cw_bits_per_cb
         harq = None
         if buf_idx is not None and not pdu.new_data:
-            n = seg.nof_cw_bits_per_cb
-            harq = self.harq_pool._soft[buf_idx, :seg.nof_cb, :n][None]
+            harq = self.harq_pool.get_soft(buf_idx, seg.nof_cb, n)[None]
         out = rx(sub, harq)
         if buf_idx is not None:
-            n = seg.nof_cw_bits_per_cb
-            self.harq_pool._soft = self.harq_pool._soft.at[
-                buf_idx, :seg.nof_cb, :n
-            ].set(out["harq_soft"][0])
+            self.harq_pool.store(buf_idx, seg.nof_cb, n, out["harq_soft"][0])
         ok = bool(to_host(out["tb_crc_ok"])[0])
         if ok:
             self.harq_pool.release(pdu.rnti, pdu.harq_id)
@@ -295,6 +254,31 @@ class UpperPhy:
                 tb_bits=to_host(out["tb_bits"])[0] if ok else None,
             ),
         ]
+
+    def _process_srs(self, slot, pdu, grid, samples):
+        """Dispatch one SRS PDU: comb-RE extraction + channel/TA estimate ->
+        SrsIndication (reference: lib/phy/upper/uplink_processor_impl.cpp
+        process_srs, srs_estimator_generic_impl.cpp)."""
+        from ..fapi.pdus import SrsIndication
+        from ..ops import srs as srs_mod
+
+        scfg = srs_mod.SrsConfig(
+            nof_rb=pdu.nof_rb, comb_size=pdu.comb_size,
+            comb_offset=pdu.comb_offset, start_symbol=pdu.start_symbol,
+            nof_symbols=pdu.nof_symbols, sequence_id=pdu.sequence_id,
+            cyclic_shift=pdu.cyclic_shift,
+            nof_antenna_ports=pdu.nof_antenna_ports,
+        )
+        k0 = pdu.prb_start * 12
+        sub = grid[None, :, pdu.start_symbol:pdu.start_symbol + pdu.nof_symbols,
+                   k0:k0 + pdu.nof_rb * 12, :]
+        est = srs_mod.srs_estimate(sub, scfg)
+        ce = pair_to_np(to_host(est["ce_pair"]))[0]
+        return SrsIndication(
+            slot=slot, rnti=pdu.rnti, channel=ce,
+            noise_var=float(np.mean(to_host(est["noise_var"]))),
+            time_alignment_s=float(np.mean(to_host(est["ta_s"]))),
+        )
 
     def _process_pucch(self, slot, pdu, grid):
         k0 = pdu.prb_start * 12

@@ -1,0 +1,180 @@
+"""Device-side DL slot assembly: precoding, interleaved PDCCH, CSI-RS, SRS."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from srsran_projectvtlmo_tpu.fapi.pdus import (
+    DlTtiRequest, UlTtiRequest, TxDataRequest, PdschPdu, PdcchPdu, CsiRsPdu,
+    SrsPdu, SrsIndication,
+)
+from srsran_projectvtlmo_tpu.phy.upper_phy import CellConfig, UpperPhy
+from srsran_projectvtlmo_tpu.ran.modulation import Modulation
+
+CELL4 = CellConfig(nof_rb=52, dft_size=1024, numerology=1, phys_cell_id=1,
+                   nof_tx_ports=4, nof_rx_ports=4)
+
+
+class TestPrecodedPdsch:
+    def test_4port_2layer_precoding_matches_oracle(self):
+        """The device gather-plan grid equals a numpy per-RE oracle."""
+        phy = UpperPhy(CELL4)
+        w = np.array([[0.5 + 0.1j, 0.2 - 0.3j],
+                      [0.1 - 0.5j, 0.4 + 0.2j],
+                      [-0.3 + 0.2j, 0.1 + 0.1j],
+                      [0.2 + 0.4j, -0.2 + 0.3j]], np.complex64)
+        prec = tuple(tuple((float(c.real), float(c.imag)) for c in row) for row in w)
+        pdu = PdschPdu(rnti=0x44, rb_start=4, rb_size=16, modulation=Modulation.QAM16,
+                       target_code_rate=0.5, nof_layers=2, start_symbol=1,
+                       nof_symbols=12, dmrs_symbols=(3,), n_id=7, precoding=prec)
+        from srsran_projectvtlmo_tpu.phy.dl_slot import get_dl_slot_program
+        program = get_dl_slot_program(DlTtiRequest(slot=2, pdsch=(pdu,)), CELL4)
+        cfg = program.pdsch_cfgs[0]
+        rng = np.random.default_rng(0)
+        tb = rng.integers(0, 2, cfg.tbs).astype(np.uint8)
+        grid, _ = phy.process_dl_slot(
+            DlTtiRequest(slot=2, pdsch=(pdu,)), TxDataRequest(slot=2, tb_bits=[tb]))
+        assert grid.shape == (4, 14, CELL4.nof_subc)
+
+        # Oracle: layer symbols from the sch chain, precoded per RE in numpy.
+        from srsran_projectvtlmo_tpu.models.sch_tx import build_sch_symbols_tx
+        from srsran_projectvtlmo_tpu.ops.dmrs import dmrs_type1_sequence
+        syms = np.asarray(build_sch_symbols_tx(cfg)(jnp.asarray(tb[None])))[0]
+        layers = syms.reshape(-1, 2).T  # (L, M)
+        ports = w @ layers  # (P, M)
+        k0 = pdu.rb_start * 12
+        oracle = np.zeros((4, 14, CELL4.nof_subc), np.complex64)
+        m = 0
+        for s in range(pdu.nof_symbols):
+            sym = pdu.start_symbol + s
+            if sym in pdu.dmrs_symbols:
+                continue
+            oracle[:, sym, k0:k0 + cfg.nof_subc] = ports[:, m:m + cfg.nof_subc]
+            m += cfg.nof_subc
+        # DM-RS: layers 0/1 on CDM group 0 (even subc) with fd-OCC.
+        ref = dmrs_type1_sequence(2, 3, 7, 16, prb_start=4)
+        occ0 = np.ones(len(ref), np.complex64)
+        occ1 = np.ones(len(ref), np.complex64)
+        occ1[1::2] = -1
+        pil_ports = np.einsum("pl,ln->pn", w,
+                              np.stack([ref * occ0, ref * occ1]))
+        oracle[:, 3, k0 + 0:k0 + cfg.nof_subc:2] = pil_ports
+        np.testing.assert_allclose(grid, oracle, atol=2e-5)
+
+    def test_1port_4layer_rejected_shape(self):
+        """Precoding shape mismatch raises."""
+        w_bad = ((1.0, 0.0),)  # wrong structure
+        pdu = PdschPdu(rnti=1, rb_start=0, rb_size=4, modulation=Modulation.QPSK,
+                       target_code_rate=0.3, nof_layers=2, start_symbol=0,
+                       nof_symbols=14, dmrs_symbols=(2,), precoding=(w_bad,))
+        phy = UpperPhy(CELL4)
+        with pytest.raises(AssertionError):
+            phy.process_dl_slot(DlTtiRequest(slot=0, pdsch=(pdu,)), None)
+
+
+class TestInterleavedPdcch:
+    def test_interleaved_mapping_formula(self):
+        """Interleaved CCE-to-REG matches the TS 38.211 formula by hand."""
+        from srsran_projectvtlmo_tpu.ran.pdcch_mapping import cce_to_reg_interleaved
+        # N_rb=48, 1 symbol, L=6, R=2, shift=0: N_reg=48, C=4.
+        regs = cce_to_reg_interleaved(48, 1, 6, 2, 0, 1, 0)
+        # CCE 0 -> bundle x=0: r=0, c=0 -> f = 0 -> REGs 0..5.
+        assert regs == [0, 1, 2, 3, 4, 5]
+        regs = cce_to_reg_interleaved(48, 1, 6, 2, 0, 1, 1)
+        # CCE 1 -> bundle x=1: r=1, c=0 -> f = 1*4+0 = 4 -> REGs 24..29.
+        assert regs == [24, 25, 26, 27, 28, 29]
+        # Shift moves the destination cyclically.
+        regs = cce_to_reg_interleaved(48, 1, 6, 2, 3, 1, 1)
+        assert regs == [42, 43, 44, 45, 46, 47]
+
+    def test_interleaved_pdcch_decodes(self):
+        """A candidate mapped interleaved decodes from its own grid REs."""
+        phy = UpperPhy(CELL4)
+        pdu = PdcchPdu(rnti=0x77, nof_dci_bits=32, aggregation_level=2,
+                       cce_index=1, start_symbol=0, n_id=1, n_rnti=0x77,
+                       coreset_rb_start=0, coreset_nof_rb=48,
+                       interleaved=True, reg_bundle_size=6, interleaver_size=2,
+                       shift_index=5)
+        rng = np.random.default_rng(1)
+        payload = rng.integers(0, 2, 32).astype(np.uint8)
+        object.__setattr__(pdu, "payload", tuple(payload))  # test hook
+        # frozen dataclass: use a dict carrying payload via attribute
+        req = DlTtiRequest(slot=1, pdcch=(pdu,))
+        grid, _ = phy.process_dl_slot(req, None)
+        g0 = grid[0] if grid.ndim == 3 else grid
+
+        from srsran_projectvtlmo_tpu.phy.dl_slot import _pdcch_plan
+        prbs, data_idx, dmrs_idx = _pdcch_plan(pdu, CELL4)
+        # Interleaving scatters the bundles: NOT the contiguous non-interleaved
+        # PRB set [6*cce, 6*(cce+al)).
+        assert sorted(prbs) != list(range(6 * pdu.cce_index,
+                                          6 * (pdu.cce_index + pdu.aggregation_level)))
+        re = g0.reshape(-1)[data_idx]
+        assert np.abs(re).min() > 0.1  # all data REs populated
+        # Blind-decode the candidate from the extracted REs (clean channel).
+        from srsran_projectvtlmo_tpu.phy import pdcch as pdcch_mod
+        cand = pdcch_mod.PdcchCandidateConfig(
+            nof_dci_bits=32, aggregation_level=2, rnti=0x77, n_id=1, n_rnti=0x77)
+        pair = np.stack([re.real, re.imag], -1).astype(np.float32)[None]
+        nv = np.full((1, len(re)), 0.01, np.float32)
+        bits, ok = pdcch_mod.pdcch_blind_decode(jnp.asarray(pair), jnp.asarray(nv), cand)
+        assert bool(np.asarray(ok)[0])
+        np.testing.assert_array_equal(np.asarray(bits)[0], payload)
+
+
+class TestCsiRs:
+    def test_csi_rs_mapped_into_grid(self):
+        phy = UpperPhy(CELL4)
+        pdu = CsiRsPdu(nof_rb=52, prb_start=0, symbol=5, subcarrier_offset=3,
+                       scrambling_id=41)
+        grid, _ = phy.process_dl_slot(DlTtiRequest(slot=6, csi_rs=(pdu,)), None)
+        g0 = grid[0] if grid.ndim == 3 else grid
+        from srsran_projectvtlmo_tpu.ops.csi_rs import CsiRsConfig, csi_rs_sequence
+        seq = csi_rs_sequence(CsiRsConfig(nof_rb=52, prb_start=0, symbol=5,
+                                          subcarrier_offset=3, scrambling_id=41,
+                                          slot=6))
+        np.testing.assert_allclose(g0[5, 3::12], seq, atol=1e-6)
+        # Nothing else on that symbol.
+        mask = np.ones(CELL4.nof_subc, bool)
+        mask[3::12] = False
+        assert np.abs(g0[5, mask]).max() == 0
+
+
+class TestSrsEndToEnd:
+    def test_srs_pdu_roundtrip(self):
+        """An SRS occasion in the UL slot yields a channel/TA indication."""
+        from srsran_projectvtlmo_tpu.ops import srs as srs_mod
+        from srsran_projectvtlmo_tpu.ops import ofdm
+        from srsran_projectvtlmo_tpu.utils.cplx import np_to_pair
+
+        cell = CellConfig(nof_rb=24, dft_size=512, numerology=1, nof_rx_ports=2)
+        phy = UpperPhy(cell)
+        pdu = SrsPdu(rnti=0x31, nof_rb=24, comb_size=2, comb_offset=0,
+                     start_symbol=13, nof_symbols=1, sequence_id=17,
+                     cyclic_shift=0)
+        scfg = srs_mod.SrsConfig(nof_rb=24, comb_size=2, comb_offset=0,
+                                 start_symbol=13, nof_symbols=1,
+                                 sequence_id=17, cyclic_shift=0)
+        seq = srs_mod.srs_sequence(scfg)
+        sub = srs_mod.srs_subcarriers(scfg)
+        carrier = np.zeros((2, 14, cell.nof_subc), np.complex64)
+        h = np.array([0.8 - 0.3j, -0.2 + 0.9j], np.complex64)
+        rng = np.random.default_rng(0)
+        for p in range(2):
+            carrier[p, 13, sub] = h[p] * seq
+        carrier += 0.005 * (rng.normal(size=carrier.shape)
+                            + 1j * rng.normal(size=carrier.shape))
+        samples = np.asarray(ofdm.ofdm_modulate(
+            jnp.asarray(np_to_pair(carrier)), cell.dft_size, 1, 0))
+        inds = phy.process_ul_slot(
+            UlTtiRequest(slot=0, srs=(pdu,)), samples)
+        srs_inds = [i for i in inds if isinstance(i, SrsIndication)]
+        assert len(srs_inds) == 1
+        ind = srs_inds[0]
+        assert ind.rnti == 0x31
+        assert ind.channel.shape[0] == 2
+        # Wideband estimate close to the injected flat channel.
+        est = ind.channel.mean(axis=-1)
+        np.testing.assert_allclose(est, h, atol=0.05)
+        assert abs(ind.time_alignment_s) < 2e-7
