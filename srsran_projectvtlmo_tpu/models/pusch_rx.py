@@ -71,6 +71,12 @@ class PuschRxConfig(SchChainConfig):
     #: channel estimates (reference: port_channel_estimator_average_impl.cpp
     #: :245-253 compensate_cfo). Needs >= 2 DM-RS symbols to engage.
     compensate_cfo: bool = True
+    #: Per-batch-element cell parameters as *inputs*: the DM-RS reference and
+    #: descrambling signs become runtime arrays instead of baked constants, so
+    #: ONE compiled program serves many cells with different rnti/n_id/slot
+    #: (the multi-cell du_low sharding path).  UCI-on-PUSCH and hopping keep
+    #: the static mode.
+    dynamic_params: bool = False
     #: Intra-slot frequency hopping: slot symbol index (absolute) where the
     #: second hop starts, and the second hop's PRB start. The channel is
     #: estimated independently per hop and the DM-RS sequence is CRB-indexed
@@ -183,6 +189,11 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     if hopping:
         assert cfg.second_hop_prb is not None, "hop_symbol needs second_hop_prb"
         assert cfg.nof_layers == 1, "frequency hopping supported for 1 layer"
+    if cfg.dynamic_params:
+        assert not hopping, "dynamic_params excludes intra-slot hopping"
+        assert not (cfg.nof_harq_ack_bits or cfg.nof_csi_part1_bits
+                    or cfg.nof_csi_part2_bits), \
+            "dynamic_params excludes UCI-on-PUSCH (static placement plans)"
 
     def _hop_of(sym_abs: int) -> int:
         return 1 if hopping and sym_abs >= cfg.hop_symbol else 0
@@ -236,7 +247,10 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     weights_fn = {"mmse": mmse_weights, "zf": zf_weights}[cfg.equalizer]
 
     @jax.jit
-    def rx(grid, harq_buffer=None):
+    def rx(grid, harq_buffer=None, ref_dmrs=None, dyn_signs=None):
+        if cfg.dynamic_params:
+            assert ref_dmrs is not None and dyn_signs is not None, \
+                "dynamic_params programs take (grid, harq, ref_dmrs, dyn_signs)"
         rx_pilots = grid[:, :, dmrs_syms][:, :, :, pil_subc, :]  # (B, P, ndmrs, npil, 2)
         b = grid.shape[0]
         nre = cfg.nof_data_re
@@ -257,7 +271,10 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             for k in range(nof_hops):
                 sel = np.asarray(dmrs_hop_sel[k], np.int32)
                 epochs_k = tuple(dmrs_epochs[i] for i in dmrs_hop_sel[k])
-                ref_k = jnp.asarray(ref_pair[dmrs_hop_sel[k]])
+                if cfg.dynamic_params:
+                    ref_k = ref_dmrs[:, sel]  # (B, nsel, npil, 2) broadcasts
+                else:
+                    ref_k = jnp.asarray(ref_pair[dmrs_hop_sel[k]])
                 est = jax.vmap(
                     lambda g, r=ref_k, e=epochs_k: estimate_channel_hop(
                         g, r, cfg.nof_rb, 2, cfg.scs_hz, e),
@@ -288,9 +305,12 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             # at stride 4 (reference: dmrs_pusch_estimator_impl.cpp layer CDM).
             from ..utils.cplx import to_cplx, from_cplx
 
-            ref_c = jnp.asarray(ref)  # (ndmrs, npil) complex (via host constant)
+            if cfg.dynamic_params:
+                ref_c = to_cplx(ref_dmrs)[:, None]  # (B, 1, ndmrs, npil)
+            else:
+                ref_c = jnp.asarray(ref)[None, None]  # (1, 1, ndmrs, npil)
             yp = to_cplx(rx_pilots)  # (B, P, S, npil)
-            lse = yp * jnp.conj(ref_c)[None, None]
+            lse = yp * jnp.conj(ref_c)
             pairs = lse.reshape(lse.shape[:-1] + (lse.shape[-1] // 2, 2))
             despread = jnp.stack(
                 [pairs.mean(-1), (pairs[..., 0] - pairs[..., 1]) * 0.5], axis=0
@@ -337,7 +357,10 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
 
         llr = soft_demap(eq, eq_nvar, cfg.modulation)  # (B, nre*L*qm) int8
 
-        llr = (llr.astype(jnp.int32) * jnp.asarray(descr_signs)[None, :])
+        if cfg.dynamic_params:
+            llr = llr.astype(jnp.int32) * dyn_signs.astype(jnp.int32)
+        else:
+            llr = llr.astype(jnp.int32) * jnp.asarray(descr_signs)[None, :]
         llr = jnp.clip(llr, -127, 127).astype(jnp.int8)
 
         uci_out = {}

@@ -1,0 +1,157 @@
+"""Multi-cell du_low: FAPI PDU sets per cell, sharded over the (cell, sp) mesh.
+
+The reference's du_low owns one independent upper_phy per cell
+(reference: lib/du_low/du_low_impl.h:31-48), distributing cells across
+executors/machines.  TPU-native: cells with the same slot *structure* batch
+into ONE device program on the mesh's cell axis — per-cell parameters
+(rnti/n_id/slot sequences) ride as inputs via PuschRxConfig.dynamic_params,
+so heterogeneous RNTIs do not recompile.  Each per-cell HARQ pool stays
+host-managed; the soft buffers live in the same sharded batch.
+
+Heterogeneous slot structures degrade to per-cell dispatch through the plain
+UpperPhy (same behavior, no batching win).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..fapi.pdus import UlTtiRequest, CrcIndication, RxDataIndication
+from ..models.pusch_rx import PuschRxConfig, cached_pusch_rx_from_grid
+from ..ops import ofdm as ofdm_mod
+from ..ops import prg as prg_mod
+from ..ops.dmrs import dmrs_type1_sequence
+from ..phy.harq import RxBufferPool
+from ..phy.upper_phy import CellConfig, UpperPhy
+from ..utils.cplx import np_to_pair
+from ..utils.xfer import to_host
+from .distributed import RanMesh, make_ran_mesh
+
+
+def _static_key(pdu) -> tuple:
+    """Shape-determining PUSCH PDU fields (params that may vary per cell ride
+    as inputs instead)."""
+    return (pdu.rb_start, pdu.rb_size, pdu.modulation, pdu.target_code_rate,
+            pdu.rv, pdu.nof_layers, pdu.start_symbol, pdu.nof_symbols,
+            tuple(pdu.dmrs_symbols), pdu.nof_harq_ack_bits)
+
+
+class MultiCellUpperPhy:
+    """N same-carrier cells processed as one sharded slot program."""
+
+    def __init__(self, cfg: CellConfig, nof_cells: int,
+                 ran_mesh: RanMesh | None = None):
+        self.cfg = cfg
+        self.nof_cells = nof_cells
+        self.rmesh = ran_mesh or make_ran_mesh()
+        self.cell_phys = [UpperPhy(cfg) for _ in range(nof_cells)]
+        self.harq_pools = [RxBufferPool() for _ in range(nof_cells)]
+
+    # ------------------------------------------------------------------ UL --
+
+    def process_ul_slot(self, requests: list[UlTtiRequest], samples: np.ndarray):
+        """Process one UL slot across all cells.
+
+        Args:
+          requests: one UlTtiRequest per cell (len == nof_cells).
+          samples: (nof_cells, nof_rx_ports, nsamples, 2) received baseband.
+
+        Returns: list of per-cell indication lists.
+
+        PUSCH PDUs with identical static structure across all cells run as
+        ONE sharded program (cells on the mesh "cell" axis).  Everything else
+        (PUCCH, PRACH, SRS, odd-shaped PUSCH) dispatches through the per-cell
+        UpperPhy.
+        """
+        assert len(requests) == self.nof_cells
+        cfg = self.cfg
+        slot = requests[0].slot
+        mesh = self.rmesh.mesh
+        out: list[list] = [[] for _ in range(self.nof_cells)]
+
+        # Identify PUSCH PDUs batchable across every cell: position i of each
+        # request shares a static key.
+        nof_pdus = {len(r.pusch) for r in requests}
+        batchable = []
+        if len(nof_pdus) == 1 and next(iter(nof_pdus)) > 0:
+            n = next(iter(nof_pdus))
+            for i in range(n):
+                keys = {_static_key(r.pusch[i]) for r in requests}
+                if len(keys) == 1 and requests[0].pusch[i].new_data:
+                    batchable.append(i)
+
+        if batchable:
+            grid = ofdm_mod.ofdm_demodulate(
+                jax.device_put(
+                    jnp.asarray(samples),
+                    NamedSharding(mesh, P("cell", None, None, None))),
+                cfg.nof_subc, cfg.dft_size, cfg.numerology,
+                slot % (1 << cfg.numerology),
+            )  # (ncell, P, 14, nsubc, 2)
+            for i in batchable:
+                self._process_pusch_batched(slot, [r.pusch[i] for r in requests],
+                                            grid, out)
+
+        # Everything else per cell.
+        for c, req in enumerate(requests):
+            rest = dataclasses.replace(
+                req,
+                pusch=tuple(p for i, p in enumerate(req.pusch)
+                            if i not in batchable),
+            )
+            if rest.pusch or rest.pucch or rest.prach or rest.srs:
+                out[c].extend(self.cell_phys[c].process_ul_slot(
+                    rest, samples[c], validate=False))
+        return out
+
+    def _process_pusch_batched(self, slot, pdus, grid, out):
+        cfg = self.cfg
+        p0 = pdus[0]
+        rx_cfg = PuschRxConfig(
+            nof_rb=p0.rb_size, modulation=p0.modulation,
+            target_code_rate=p0.target_code_rate, nof_layers=p0.nof_layers,
+            nof_ofdm_symbols=p0.nof_symbols,
+            dmrs_symbols=tuple(s - p0.start_symbol for s in p0.dmrs_symbols),
+            rv=p0.rv, start_symbol=p0.start_symbol, rb_start=p0.rb_start,
+            nof_rx_ports=cfg.nof_rx_ports, dft_size=cfg.dft_size,
+            numerology=cfg.numerology, dynamic_params=True,
+        )
+        k0 = p0.rb_start * 12
+        sub = grid[:, :, p0.start_symbol:p0.start_symbol + p0.nof_symbols,
+                   k0:k0 + rx_cfg.nof_subc, :]
+
+        # Per-cell DM-RS references and descrambling signs as inputs.
+        refs, signs = [], []
+        for pdu in pdus:
+            ref = np.stack([
+                dmrs_type1_sequence(slot, s, pdu.n_id, pdu.rb_size,
+                                    prb_start=pdu.rb_start)
+                for s in pdu.dmrs_symbols
+            ])
+            refs.append(np_to_pair(ref))
+            cinit = ((pdu.rnti << 15) + pdu.n_id) & 0x7FFFFFFF
+            signs.append(1 - 2 * prg_mod.gold_sequence_bits(
+                cinit, rx_cfg.nof_codeword_bits).astype(np.int8))
+        mesh = self.rmesh.mesh
+        cell_sh = lambda x, nd: jax.device_put(
+            x, NamedSharding(mesh, P("cell", *([None] * (nd - 1)))))
+        ref_in = cell_sh(jnp.asarray(np.stack(refs)), 4)
+        signs_in = cell_sh(jnp.asarray(np.stack(signs)), 2)
+
+        rx = cached_pusch_rx_from_grid(rx_cfg)
+        res = rx(sub, None, ref_in, signs_in)
+        ok = to_host(res["tb_crc_ok"])
+        bits = to_host(res["tb_bits"])
+        for c, pdu in enumerate(pdus):
+            out[c].append(CrcIndication(slot=slot, rnti=pdu.rnti,
+                                        harq_id=pdu.harq_id,
+                                        tb_crc_ok=bool(ok[c])))
+            out[c].append(RxDataIndication(
+                slot=slot, rnti=pdu.rnti, harq_id=pdu.harq_id,
+                tb_bits=bits[c] if ok[c] else None))

@@ -1,0 +1,104 @@
+"""Multi-cell UpperPhy over the (cell, sp) mesh: FAPI PDUs per cell, one
+sharded program for same-structure PUSCH across cells with different
+rnti/n_id (dynamic_params inputs)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srsran_projectvtlmo_tpu.fapi.pdus import (
+    UlTtiRequest, PuschPdu, CrcIndication, RxDataIndication,
+)
+from srsran_projectvtlmo_tpu.models.pusch_rx import PuschRxConfig
+from srsran_projectvtlmo_tpu.models.ulsch_tx import build_ulsch_tx_slot
+from srsran_projectvtlmo_tpu.parallel.distributed import make_ran_mesh
+from srsran_projectvtlmo_tpu.parallel.multi_cell_phy import MultiCellUpperPhy
+from srsran_projectvtlmo_tpu.phy.upper_phy import CellConfig
+from srsran_projectvtlmo_tpu.ran.modulation import Modulation
+
+
+def test_four_cells_distinct_rnti_one_program():
+    ncell = 4
+    cell = CellConfig(nof_rb=24, dft_size=512, numerology=1, nof_rx_ports=1)
+    rmesh = make_ran_mesh(nof_cell_shards=4, nof_sp_shards=2)
+    phy = MultiCellUpperPhy(cell, ncell, rmesh)
+
+    rng = np.random.default_rng(0)
+    slot = 3
+    rntis = [0x101, 0x202, 0x303, 0x404]
+    nids = [5, 17, 29, 41]
+    tbs_list, samples = [], []
+    pdus = []
+    for c in range(ncell):
+        tx_cfg = PuschRxConfig(
+            nof_rb=16, modulation=Modulation.QAM16, target_code_rate=0.5,
+            rnti=rntis[c], n_id=nids[c], rb_start=4, nof_rx_ports=1,
+            dft_size=cell.dft_size, numerology=1, slot=slot,
+            dmrs_symbols=(2,),
+        )
+        tx = build_ulsch_tx_slot(tx_cfg)
+        tb = rng.integers(0, 2, tx_cfg.tbs).astype(np.uint8)
+        tbs_list.append(tb)
+        grid_pair, _ = tx(jnp.asarray(tb[None]))
+        alloc = np.asarray(grid_pair)[0]  # (14, 192, 2)
+        carrier = np.zeros((14, cell.nof_subc, 2), np.float32)
+        carrier[:, 4 * 12:20 * 12, :] = alloc
+        from srsran_projectvtlmo_tpu.ops import ofdm
+        samp = np.asarray(ofdm.ofdm_modulate(
+            jnp.asarray(carrier), cell.dft_size, 1, slot % 2))
+        noise = 0.003 * rng.normal(size=samp.shape).astype(np.float32)
+        samples.append(samp[None] + noise)  # (1 port, nsamp, 2)
+        pdus.append(PuschPdu(
+            rnti=rntis[c], rb_start=4, rb_size=16, modulation=Modulation.QAM16,
+            target_code_rate=0.5, n_id=nids[c], dmrs_symbols=(2,)))
+
+    requests = [UlTtiRequest(slot=slot, pusch=(pdus[c],)) for c in range(ncell)]
+    out = phy.process_ul_slot(requests, np.stack(samples))
+
+    assert len(out) == ncell
+    for c in range(ncell):
+        crc = [i for i in out[c] if isinstance(i, CrcIndication)]
+        rxd = [i for i in out[c] if isinstance(i, RxDataIndication)]
+        assert crc and crc[0].tb_crc_ok, f"cell {c} failed CRC"
+        assert crc[0].rnti == rntis[c]
+        np.testing.assert_array_equal(rxd[0].tb_bits, tbs_list[c])
+
+
+def test_heterogeneous_shapes_fall_back_per_cell():
+    """Cells with different PUSCH shapes still process (per-cell path)."""
+    ncell = 2
+    cell = CellConfig(nof_rb=24, dft_size=512, numerology=1, nof_rx_ports=1)
+    rmesh = make_ran_mesh(nof_cell_shards=2, nof_sp_shards=4)
+    phy = MultiCellUpperPhy(cell, ncell, rmesh)
+    rng = np.random.default_rng(1)
+    slot = 0
+    sizes = [8, 16]
+    samples, tbs_list = [], []
+    reqs = []
+    for c in range(ncell):
+        tx_cfg = PuschRxConfig(
+            nof_rb=sizes[c], modulation=Modulation.QPSK, target_code_rate=0.4,
+            rnti=0x10 + c, n_id=c, rb_start=0, nof_rx_ports=1,
+            dft_size=cell.dft_size, numerology=1, slot=slot, dmrs_symbols=(2,))
+        tx = build_ulsch_tx_slot(tx_cfg)
+        tb = rng.integers(0, 2, tx_cfg.tbs).astype(np.uint8)
+        tbs_list.append(tb)
+        grid_pair, _ = tx(jnp.asarray(tb[None]))
+        alloc = np.asarray(grid_pair)[0]
+        carrier = np.zeros((14, cell.nof_subc, 2), np.float32)
+        carrier[:, :sizes[c] * 12, :] = alloc
+        from srsran_projectvtlmo_tpu.ops import ofdm
+        samp = np.asarray(ofdm.ofdm_modulate(
+            jnp.asarray(carrier), cell.dft_size, 1, 0))
+        samples.append(samp[None])
+        reqs.append(UlTtiRequest(slot=slot, pusch=(PuschPdu(
+            rnti=0x10 + c, rb_start=0, rb_size=sizes[c],
+            modulation=Modulation.QPSK, target_code_rate=0.4, n_id=c,
+            dmrs_symbols=(2,)),)))
+    out = phy.process_ul_slot(reqs, np.stack(samples))
+    for c in range(ncell):
+        crc = [i for i in out[c] if isinstance(i, CrcIndication)]
+        assert crc and crc[0].tb_crc_ok, f"cell {c} failed CRC"
+        rxd = [i for i in out[c] if isinstance(i, RxDataIndication)]
+        np.testing.assert_array_equal(rxd[0].tb_bits, tbs_list[c])
