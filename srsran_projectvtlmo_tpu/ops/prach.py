@@ -62,6 +62,44 @@ def zc_freq(u: int, length: int) -> np.ndarray:
     return np.fft.fft(zc_sequence(u, length)).astype(np.complex64)
 
 
+_THRESH = Path(__file__).resolve().parent.parent / "data" / "prach_thresholds.npz"
+
+#: prach_subcarrier_spacing / prach_format_type enums of the reference's
+#: calibration table (prach_detector_generic_thresholds.h).
+_SCS_ENUM = {15e3: 0, 30e3: 1, 60e3: 2, 120e3: 3, 1.25e3: 4, 5e3: 5}
+_FMT_ENUM = {"0": 0, "1": 1, "2": 2, "3": 3, "A1": 4, "A2": 5, "A3": 6,
+             "B1": 7, "B4": 8, "C0": 9, "C2": 10, "A1_B1": 11, "A2_B2": 12,
+             "A3_B3": 13}
+
+
+@functools.lru_cache(maxsize=1)
+def _threshold_table():
+    with np.load(_THRESH) as z:
+        return {k: z[k].copy() for k in z.files}
+
+
+def threshold_and_margin(nof_rx_ports: int, scs_hz: float, fmt: str,
+                         zcz: int, combine_symbols: bool):
+    """(threshold, margin, flag) from the reference's validated calibration
+    table; falls back to the reference's own defaults for uncovered combos
+    (reference: prach_detector_generic_thresholds.h:152-168: 2.0/5 long,
+    0.3/12 short; flag "red" = combination not validated)."""
+    t = _threshold_table()
+    sel = ((t["nof_rx_ports"] == nof_rx_ports)
+           & (t["scs"] == _SCS_ENUM[scs_hz])
+           & (t["format"] == _FMT_ENUM[fmt])
+           & (t["zcz"] == zcz)
+           & (t["combine"] == combine_symbols))
+    idx = np.flatnonzero(sel)
+    if len(idx):
+        i = int(idx[0])
+        flag = {0: "red", 1: "orange", 2: "green"}[int(t["flag"][i])]
+        return float(t["threshold"][i]), int(t["margin"][i]), flag
+    if fmt in ("0", "1", "2", "3"):
+        return 2.0, 5, "red"
+    return 0.3, 12, "red"
+
+
 @dataclass(frozen=True)
 class PrachDetectorConfig:
     """Static detection configuration for one occasion format."""
@@ -71,9 +109,29 @@ class PrachDetectorConfig:
     zero_correlation_zone: int    # index into the N_cs table
     ncs_table: str = "1.25kHz"
     nof_preambles: int = 64
-    #: Detection threshold relative to the noise floor (reference keeps a
-    #: per-configuration table, prach_detector_generic_thresholds.h).
-    threshold: float = 2.0
+    #: Preamble format ("0".."3" long; "A1".."C2" short); None = "0" for long
+    #: sequences, "C0" for short.
+    format: str | None = None
+    #: Numerology for short formats (RA SCS = 15 kHz << numerology).
+    numerology: int = 0
+    #: Non-coherently combine the occasion's repeated preamble symbols before
+    #: correlation (reference: prach_detector_generic_impl.cpp:222-243).
+    combine_symbols: bool = True
+    #: Detection threshold override; None resolves the reference's validated
+    #: (threshold, margin) calibration table at detect time
+    #: (reference: prach_detector_generic_thresholds.h:42-55).
+    threshold: float | None = None
+
+    @property
+    def fmt(self) -> str:
+        if self.format is not None:
+            return self.format
+        return "0" if self.sequence_length == LONG else "C0"
+
+    @property
+    def preamble(self):
+        from ..ran.prach_preamble import preamble_info
+        return preamble_info(self.fmt, self.numerology)
 
     @property
     def ncs(self) -> int:
@@ -105,76 +163,124 @@ def prach_generate(cfg: PrachDetectorConfig, preamble_index: int) -> np.ndarray:
     return np.fft.fft(seq).astype(np.complex64) / np.sqrt(cfg.sequence_length)
 
 
-def _detector_tables(cfg: PrachDetectorConfig, nfft: int):
-    """(conj root spectra (R, L), window gather indices (nwin, win_len))."""
+def _detector_tables(cfg: PrachDetectorConfig, nfft: int, margin: int):
+    """Host plan mirroring the reference detector's window geometry
+    (reference: prach_detector_generic_impl.cpp:128-275).
+
+    Returns (conj root spectra (R, L), window gather idx (nwin, win_len),
+    reference-energy gather idx (nwin, win_len + 2*margin), win_len,
+    max_delay_limit).
+    """
     roots, first, spr = cfg.plan
     l = cfg.sequence_length
-    conj_freq = np.stack([np.conj(zc_freq(int(u), cfg.sequence_length)) for u in roots])
-    # A preamble with shift C_v = v*Ncs and delay tau peaks at correlation lag
-    # d = (tau - C_v) mod L (scaled by nfft/L): window v starts at (L - C_v) mod L.
-    if cfg.ncs:
-        win_len = max(int(round(cfg.ncs * nfft / l)), 1)
-        starts = [((l - v * cfg.ncs) % l) * nfft // l for v in range(spr)]
-    else:
-        win_len = nfft
-        starts = [0]
+    cp_prach = cfg.preamble.cp_prach
+    ncs = cfg.ncs
+    conj_freq = np.stack([np.conj(zc_freq(int(u), l)) for u in roots])
+    # win_width = min(N_cs, cp_prach) (cp_prach when Ncs == 0), at IDFT rate.
+    win_seq = min(ncs, cp_prach) if ncs else cp_prach
+    win_len = max((win_seq * nfft) // l, 1)
+    # A preamble with shift C_v = v*Ncs peaks at lag (tau - C_v) mod L:
+    # window v starts at (nfft - (Ncs*v*nfft)//L) mod nfft.
+    starts = [(nfft - (ncs * v * nfft) // l) % nfft for v in range(spr)]
     win_idx = (np.asarray(starts)[:, None] + np.arange(win_len)[None, :]) % nfft
-    return conj_freq.astype(np.complex64), win_idx.astype(np.int32), win_len
+    ref_idx = ((np.asarray(starts)[:, None] - margin)
+               + np.arange(win_len + 2 * margin)[None, :]) % nfft
+    # Spurious-peak guard: accept delays < 0.8 * max_delay
+    # (reference: prach_detector_generic_impl.cpp:165-167, 326-327).
+    max_delay_seq = cp_prach if ncs == 0 else min(max(ncs, 1) - 1, cp_prach)
+    max_delay = (max_delay_seq * nfft) // l
+    return (conj_freq.astype(np.complex64), win_idx.astype(np.int32),
+            ref_idx.astype(np.int32), win_len, max_delay)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _detect_jit(rx_freq_pair, cfg: PrachDetectorConfig, nfft: int):
-    conj_freq, win_idx, win_len = _detector_tables(cfg, nfft)
-    rx = to_cplx(rx_freq_pair)  # (B, L)
-    prod = rx[:, None, :] * jnp.asarray(conj_freq)[None, :, :]  # (B, R, L)
-    # Zero-padded IDFT -> delay-domain correlation at nfft/L oversampling.
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _detect_jit(rx_freq_pair, cfg: PrachDetectorConfig, nfft: int, margin: int):
+    """Reference-faithful detection metric over (B, P, S, L) occasions.
+
+    Per (port, symbol): correlate with each root spectrum, IDFT to the delay
+    domain, modulus square; per shift window accumulate the numerator
+    (window power scaled nfft/L) and the noise denominator (reference energy
+    over window +/- margin minus the window sample), then metric = num/|den|
+    (reference: prach_detector_generic_impl.cpp:200-315).
+    """
+    conj_freq, win_idx, ref_idx, win_len, max_delay = _detector_tables(
+        cfg, nfft, margin)
+    rx = to_cplx(rx_freq_pair)  # (B, P, S, L)
+    if cfg.combine_symbols:
+        rx = jnp.sum(rx, axis=2, keepdims=True)  # coherent symbol combining
+    prod = rx[:, :, :, None, :] * jnp.asarray(conj_freq)[None, None, None]
     corr = jnp.fft.ifft(prod, n=nfft, axis=-1)
-    power = jnp.abs(corr) ** 2  # (B, R, nfft)
+    power = jnp.abs(corr) ** 2  # (B, P, S', R, nfft)
+    l = cfg.sequence_length
 
-    total_power = jnp.sum(power, axis=-1, keepdims=True)
     w = jnp.take(power, jnp.asarray(win_idx.reshape(-1)), axis=-1)
-    w = w.reshape(power.shape[:-1] + win_idx.shape)  # (B, R, nwin, win_len)
-    win_power = jnp.sum(w, axis=-1)  # (B, R, nwin)
-    win_peak = jnp.max(w, axis=-1)
-    win_argpeak = jnp.argmax(w, axis=-1)
+    w = w.reshape(power.shape[:-1] + win_idx.shape)  # (B,P,S',R,nwin,win_len)
+    w = w * (np.float32(nfft) / np.float32(l))
+    eref = jnp.take(power, jnp.asarray(ref_idx.reshape(-1)), axis=-1)
+    eref = eref.reshape(power.shape[:-1] + ref_idx.shape).sum(-1)  # (B,P,S',R,nwin)
 
-    # Noise floor: occasion power minus the window's own contribution.
-    noise = (total_power - win_power) / (nfft - win_len)
-    metric = win_peak / jnp.maximum(noise, 1e-12)
-    return metric, win_argpeak, win_peak
+    # Non-coherent accumulation over ports (and symbols when not combined).
+    num = jnp.sum(w, axis=(1, 2))  # (B, R, nwin, win_len)
+    diff = eref[..., None] - w
+    diff = jnp.where(jnp.abs(diff) < 1e-30, 1e-9, diff)
+    den = jnp.abs(jnp.sum(diff, axis=(1, 2)))
+    metric = num / den  # (B, R, nwin, win_len)
+
+    # Neglect delays beyond 0.8 * max_delay (adjacent-window spill).
+    delay_ok = (np.arange(win_len) < 0.8 * max_delay)
+    metric = jnp.where(jnp.asarray(delay_ok)[None, None, None, :], metric,
+                       -jnp.inf)
+    peak = jnp.max(metric, axis=-1)
+    argpeak = jnp.argmax(metric, axis=-1)
+    return peak, argpeak
 
 
 def prach_detect(rx_freq_pair, cfg: PrachDetectorConfig, oversampling: int = 2):
     """Detect preambles in received occasion spectra.
 
     Args:
-      rx_freq_pair: (B, L, 2) received frequency-domain occasion.
+      rx_freq_pair: received frequency-domain occasion —
+        (B, L, 2) single port/symbol, or (B, P, S, L, 2) multi-port with S
+        repeated preamble symbols (non-coherently combined across ports,
+        coherently across symbols when cfg.combine_symbols).
       cfg: detector configuration.
 
-    Returns dict with (numpy) detections per batch: list of
-      (preamble_index, time_advance_samples, metric).
+    Returns per batch: list of (preamble_index, time_advance_samples, metric)
+    with metric normalized by the configuration's validated threshold
+    (> 1.0 = detection), matching the reference's reported detection_metric
+    (reference: prach_detector_generic_impl.cpp:332-333).
     """
+    if rx_freq_pair.ndim == 3:
+        rx_freq_pair = rx_freq_pair[:, None, None]
     l = cfg.sequence_length
-    nfft = 1
-    while nfft < l * oversampling:
-        nfft <<= 1
-    metric, argpeak, peak = _detect_jit(rx_freq_pair, cfg, nfft)
+    nof_ports = rx_freq_pair.shape[1]
+    # Reference IDFT sizes: 1024 long / 256 short
+    # (channel_processor_factories.h:202-203), scalable via `oversampling`.
+    base = 1024 if l == LONG else 256
+    nfft = base * max(1, oversampling // 2)
+    if cfg.threshold is not None:
+        thr, margin = cfg.threshold, 5
+    else:
+        thr, margin, _flag = threshold_and_margin(
+            nof_ports, cfg.preamble.scs_hz, cfg.fmt,
+            cfg.zero_correlation_zone, cfg.combine_symbols)
+    peak, argpeak = _detect_jit(rx_freq_pair, cfg, nfft, margin)
     from ..utils.xfer import to_host
-    metric = to_host(metric)
+    peak = to_host(peak)
     argpeak = to_host(argpeak)
     roots, first, spr = cfg.plan
 
     results = []
-    for b in range(metric.shape[0]):
+    for b in range(peak.shape[0]):
         dets = []
-        for r in range(metric.shape[1]):
-            for v in range(metric.shape[2]):
+        for r in range(peak.shape[1]):
+            for v in range(peak.shape[2]):
                 idx = first[r] + v
                 if idx >= cfg.nof_preambles:
                     continue
-                if metric[b, r, v] > cfg.threshold:
-                    # Window offset is the delay: TA in sequence samples.
+                if peak[b, r, v] > thr:
                     ta_samples = argpeak[b, r, v] * l / nfft
-                    dets.append((int(idx), float(ta_samples), float(metric[b, r, v])))
+                    dets.append((int(idx), float(ta_samples),
+                                 float(peak[b, r, v] / thr)))
         results.append(dets)
     return results
