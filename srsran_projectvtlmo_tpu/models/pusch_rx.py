@@ -394,20 +394,23 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         else:
             sch_llr = llr[:, jnp.asarray(sch_idx)]
 
-        # Batch codeblocks with equal rate-match size into one dematch gather
-        # (typically <= 2 groups): CBs are a batch axis, not a loop.
+        # Batch codeblocks with equal rate-match size into one dematch
+        # (typically <= 2 groups): CBs are a batch axis, not a loop.  The
+        # groups are contiguous CB ranges (TS 38.212 assigns the smaller E to
+        # the first CBs), so each group's LLRs reshape for free — no stack of
+        # per-CB slices, no scatter.
         groups: dict[int, list[int]] = {}
         for j in range(c):
             groups.setdefault(int(es[j]), []).append(j)
-        bufs = [None] * c
+        parts = []
         for e_val, js in groups.items():
-            cb_llr = jnp.stack(
-                [sch_llr[:, offsets[j]:offsets[j + 1]] for j in js], axis=1)
-            out = rm.rate_dematch(cb_llr, seg.base_graph, z,
-                                  seg.nof_filler_bits_per_cb, cfg.rv, e_val, qm)
-            for i, j in enumerate(js):
-                bufs[j] = out[:, i]
-        soft = jnp.stack(bufs, axis=1)  # (B, C, N)
+            assert js == list(range(js[0], js[-1] + 1)), "E groups not contiguous"
+            cb_llr = sch_llr[:, offsets[js[0]]:offsets[js[-1] + 1]]
+            cb_llr = cb_llr.reshape(b, len(js), e_val)
+            parts.append(rm.rate_dematch(cb_llr, seg.base_graph, z,
+                                         seg.nof_filler_bits_per_cb, cfg.rv,
+                                         e_val, qm))
+        soft = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         if harq_buffer is not None:
             soft = rm.harq_combine(harq_buffer, soft)
 
@@ -462,8 +465,16 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         snr = jnp.mean(1.0 / jnp.maximum(eq_nvar, 1e-9), axis=-1)
         snr_db = 10.0 * jnp.log10(jnp.maximum(snr, 1e-9))
 
+        # channel_state_information: EVM over the equalized symbols
+        # (reference reports SNR+EVM+TA per PUSCH result,
+        # lib/phy/upper/channel_processors/pusch/pusch_processor_result_notifier.h).
+        from ..ops.evm import evm as evm_fn
+
+        evm_val = evm_fn(eq, cfg.modulation)
+
         return {
             "tb_crc_ok": tb_ok,
+            "evm": evm_val,
             "cb_crc_ok": cb_ok,
             "tb_bits": tb_and_crc[:, : cfg.tbs],
             "snr_db": snr_db,

@@ -279,7 +279,7 @@ def _make_kernel_delta_es(bg: BaseGraph, z: int, max_iterations: int,
         soft[0] = jnp.zeros((b_tile, z), jnp.int32)
         soft[1] = jnp.zeros((b_tile, z), jnp.int32)
         for c in range(2, nv):
-            x = llr_ref[c - 2].astype(jnp.int32)
+            x = llr_ref[:, c - 2, :].astype(jnp.int32)
             soft[c] = pltpu.roll(x, (z - final_dom[c]) % z, axis=1)
         min1[...] = jnp.zeros((m, b_tile, z), jnp.int32)
         min2[...] = jnp.zeros((m, b_tile, z), jnp.int32)
@@ -375,11 +375,232 @@ def _make_kernel_delta_es(bg: BaseGraph, z: int, max_iterations: int,
         for c in range(g.kb):
             final = jnp.where(dmask > 0, out_soft[c], soft[c])
             back = pltpu.roll(final, final_dom[c] % z, axis=1) if final_dom[c] % z else final
-            out_ref[c] = jnp.clip(back, -LLR_INFTY, LLR_INFTY).astype(jnp.int8)
+            out_ref[:, c, :] = jnp.clip(back, -LLR_INFTY, LLR_INFTY).astype(jnp.int8)
         ok_ref[...] = dmask.astype(jnp.int8)
         it_ref[...] = itcnt[...]
 
     return kernel, g, tuple(final_dom)
+
+
+def _make_kernel_delta_es16(bg: BaseGraph, z: int, max_iterations: int,
+                            scaling_factor: float, b_tile: int, crc_order: int):
+    """int16 batch-major early-stop kernel: same arithmetic as
+    `_make_kernel_delta_es` (bit-exact — all LLR quantities fit int16:
+    |soft| <= 127, |v2c| <= 127, scaled magnitudes <= 120) at twice the lane
+    density of the int32 kernel, with (b_tile, nv, z) batch-major I/O so the
+    caller needs NO whole-buffer transpose.  Sign bitmasks stay int32 (rows
+    have up to 19 edges)."""
+    g, rows = _row_edges(bg, z)
+    nv, m = g.n_full, g.m
+
+    final_dom = [0] * nv
+    for edges in rows:
+        for c, s in edges:
+            final_dom[c] = s
+
+    i16 = jnp.int16
+    LLR_MAX16 = np.int16(LLR_MAX)
+    LLR_INFTY16 = np.int16(LLR_INFTY)
+
+    def sat_sub(a, b):
+        plain = jnp.clip(a - b, -LLR_MAX16, LLR_MAX16)
+        out = jnp.where(jnp.abs(a) == LLR_INFTY16, a,
+                        jnp.where(jnp.abs(b) == LLR_INFTY16,
+                                  np.int16(0) - b, plain))
+        return jnp.where(a == b, np.int16(0), out)
+
+    def promotion_sum(a, b):
+        s = a + b  # |a|,|b| <= 127: no int16 overflow
+        plain = jnp.where(jnp.abs(s) > LLR_MAX16,
+                          (jnp.sign(s)).astype(i16) * LLR_INFTY16, s)
+        out = jnp.where(jnp.abs(a) == LLR_INFTY16, a,
+                        jnp.where(jnp.abs(b) == LLR_INFTY16, b, plain))
+        return jnp.where(a == np.int16(0) - b, np.int16(0), out)
+
+    def scale16(mag):
+        return jnp.floor(mag.astype(jnp.float32) * jnp.float32(scaling_factor)
+                         + 0.5).astype(i16)
+
+    def kernel(llr_ref, mask_ref, out_ref, ok_ref, it_ref,
+               soft, min1, min2, amin, signs, sprod, out_soft, done, itcnt):
+        for c in range(nv):
+            if c < 2:
+                soft[c] = jnp.zeros((b_tile, z), i16)
+            else:
+                x = llr_ref[:, c - 2, :].astype(i16)
+                soft[c] = pltpu.roll(x, (z - final_dom[c]) % z, axis=1)
+        min1[...] = jnp.zeros((m, b_tile, z), i16)
+        min2[...] = jnp.zeros((m, b_tile, z), i16)
+        amin[...] = jnp.zeros((m, b_tile, z), i16)
+        signs[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        sprod[...] = jnp.zeros((m, b_tile, z), i16)
+        out_soft[...] = jnp.zeros((g.kb, b_tile, z), i16)
+        done[...] = jnp.zeros((b_tile, z), i16)
+        itcnt[...] = jnp.full((b_tile, z), max_iterations, jnp.int32)
+
+        def cond(carry):
+            it, alldone = carry
+            return jnp.logical_and(it < max_iterations, alldone == 0)
+
+        def body(carry):
+            it, _ = carry
+            cur = list(final_dom)
+            for r, edges in enumerate(rows):
+                old_m1 = min1[r]
+                old_m2 = min2[r]
+                old_am = amin[r]
+                old_sb = signs[r]
+                old_sp = sprod[r]
+
+                v2cs = []
+                new_m1 = jnp.full((b_tile, z), LLR_MAX16, i16)
+                new_m2 = jnp.full((b_tile, z), LLR_MAX16, i16)
+                new_am = jnp.zeros((b_tile, z), i16)
+                new_sp = jnp.zeros((b_tile, z), i16)
+                new_sb = jnp.zeros((b_tile, z), jnp.int32)
+                for e, (c, s) in enumerate(edges):
+                    delta = (cur[c] - s) % z
+                    soft_chk = pltpu.roll(soft[c], delta, axis=1) if delta else soft[c]
+                    old_sign_e = jnp.bitwise_and(old_sb >> e, 1).astype(i16)
+                    old_mag = jnp.where(old_am == e, old_m2, old_m1)
+                    c2v_old = jnp.where((old_sp ^ old_sign_e) == 1,
+                                        np.int16(0) - old_mag, old_mag)
+                    v2c = sat_sub(soft_chk, c2v_old)
+                    v2cs.append(v2c)
+
+                    absv = jnp.abs(v2c)
+                    sign = (v2c < 0).astype(i16)
+                    is_min = absv < new_m1
+                    new_m2 = jnp.where(is_min, new_m1, jnp.minimum(new_m2, absv))
+                    new_am = jnp.where(is_min, np.int16(e), new_am)
+                    new_m1 = jnp.where(is_min, absv, new_m1)
+                    new_sp = new_sp ^ sign
+                    new_sb = new_sb | (sign.astype(jnp.int32) << e)
+
+                s_m1 = scale16(new_m1)
+                s_m2 = scale16(new_m2)
+
+                for e, (c, s) in enumerate(edges):
+                    v2c = v2cs[e]
+                    sign_e = jnp.bitwise_and(new_sb >> e, 1).astype(i16)
+                    mag = jnp.where(new_am == e, s_m2, s_m1)
+                    c2v = jnp.where((new_sp ^ sign_e) == 1,
+                                    np.int16(0) - mag, mag)
+                    soft[c] = promotion_sum(c2v, v2c)
+                    cur[c] = s
+
+                min1[r] = s_m1
+                min2[r] = s_m2
+                amin[r] = new_am
+                signs[r] = new_sb
+                sprod[r] = new_sp
+
+            # Packed-int32 CRC over systematic hard decisions (as in the int32
+            # kernel).
+            acc = jnp.zeros((b_tile, z), jnp.int32)
+            for c in range(g.kb):
+                hard = (soft[c] <= 0).astype(jnp.int32)
+                acc = acc ^ (hard * mask_ref[c])
+            bad = jnp.zeros((b_tile, 1), jnp.int32)
+            for j in range(crc_order):
+                bad = bad | (jnp.sum((acc >> j) & 1, axis=1, keepdims=True) % 2)
+            ok = (bad == 0).astype(i16)  # (b, 1)
+
+            was_done = done[:, 0:1]
+            newly = ok * (np.int16(1) - was_done)
+            for c in range(g.kb):
+                out_soft[c] = jnp.where(newly > 0, soft[c], out_soft[c])
+            itcnt[...] = jnp.where(newly.astype(jnp.int32) > 0, it + 1, itcnt[...])
+            done_new = jnp.where(was_done + newly > 0,
+                                 jnp.ones((b_tile, 1), i16),
+                                 jnp.zeros((b_tile, 1), i16))
+            done[...] = jnp.broadcast_to(done_new, (b_tile, z))
+            alldone = jnp.min(done_new.astype(jnp.int32))
+            return it + 1, alldone
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+
+        dmask = done[...]
+        for c in range(g.kb):
+            final = jnp.where(dmask > 0, out_soft[c], soft[c])
+            back = pltpu.roll(final, final_dom[c] % z, axis=1) if final_dom[c] % z else final
+            out_ref[:, c, :] = jnp.clip(back, -LLR_INFTY16, LLR_INFTY16).astype(jnp.int8)
+        ok_ref[...] = dmask.astype(jnp.int8)
+        it_ref[...] = itcnt[...]
+
+    return kernel, g, tuple(final_dom)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def ldpc_decode_pallas_es16(
+    llrs,
+    bg: BaseGraph,
+    z: int,
+    crc_name: str,
+    nof_crc_covered_bits: int,
+    max_iterations: int = 6,
+    scaling_factor: float = 0.8,
+    b_tile: int = 16,
+):
+    """Batch-major int16 early-stop decoder (production path).
+
+    Same contract as `ldpc_decode_pallas_es` — bit-exact results — but the
+    input stays (B, N) reshaped to (B, nv-2, z) with NO cross-batch transpose,
+    the kernel state is int16 (double lane density), and outputs come back
+    batch-major.
+    """
+    from ..crc import POLYS
+
+    order, _ = POLYS[crc_name]
+    kernel, g, final_dom = _make_kernel_delta_es16(
+        bg, z, max_iterations, float(scaling_factor), b_tile, order)
+    mask = _packed_crc_mask(crc_name, nof_crc_covered_bits, g.kb, z, final_dom)
+    b = llrs.shape[0]
+    pad = (-b) % b_tile
+    if pad:
+        llrs = jnp.concatenate(
+            [llrs, jnp.full((pad, llrs.shape[1]), LLR_INFTY, llrs.dtype)], 0)
+    bp = llrs.shape[0]
+    x = llrs.reshape(bp, g.n_full - 2, z)
+
+    dev = jax.devices()[0]
+    interpret = not (dev.platform == "tpu" or "TPU" in str(dev))
+    out, ok, iters = pl.pallas_call(
+        kernel,
+        grid=(bp // b_tile,),
+        in_specs=[
+            pl.BlockSpec((b_tile, g.n_full - 2, z), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g.kb, 1, z), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_tile, g.kb, z), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, z), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, z), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, g.kb, z), jnp.int8),
+            jax.ShapeDtypeStruct((bp, z), jnp.int8),
+            jax.ShapeDtypeStruct((bp, z), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g.n_full, b_tile, z), jnp.int16),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int16),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int16),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int16),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int16),
+            pltpu.VMEM((g.kb, b_tile, z), jnp.int16),
+            pltpu.VMEM((b_tile, z), jnp.int16),
+            pltpu.VMEM((b_tile, z), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x, jnp.asarray(mask))
+    soft_info = out.reshape(bp, g.kb * z)[:b]
+    hard = (soft_info <= 0).astype(jnp.uint8)
+    return hard, soft_info, ok[:b, 0].astype(bool), iters[:b, 0]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
@@ -420,7 +641,7 @@ def ldpc_decode_pallas_es(
         llrs = jnp.concatenate(
             [llrs, jnp.full((pad, llrs.shape[1]), LLR_INFTY, llrs.dtype)], 0)
     bp = llrs.shape[0]
-    x = jnp.transpose(llrs.reshape(bp, g.n_full - 2, z), (1, 0, 2))
+    x = llrs.reshape(bp, g.n_full - 2, z)
 
     dev = jax.devices()[0]
     interpret = not (dev.platform == "tpu" or "TPU" in str(dev))
@@ -428,19 +649,19 @@ def ldpc_decode_pallas_es(
         kernel,
         grid=(bp // b_tile,),
         in_specs=[
-            pl.BlockSpec((g.n_full - 2, b_tile, z), lambda i: (0, i, 0),
+            pl.BlockSpec((b_tile, g.n_full - 2, z), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g.kb, 1, z), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((g.kb, b_tile, z), lambda i: (0, i, 0),
+            pl.BlockSpec((b_tile, g.kb, z), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, z), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, z), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g.kb, bp, z), jnp.int8),
+            jax.ShapeDtypeStruct((bp, g.kb, z), jnp.int8),
             jax.ShapeDtypeStruct((bp, z), jnp.int8),
             jax.ShapeDtypeStruct((bp, z), jnp.int32),
         ],
@@ -457,7 +678,7 @@ def ldpc_decode_pallas_es(
         ],
         interpret=interpret,
     )(x, jnp.asarray(mask))
-    soft_info = jnp.transpose(out, (1, 0, 2)).reshape(bp, g.kb * z)[:b]
+    soft_info = out.reshape(bp, g.kb * z)[:b]
     hard = (soft_info <= 0).astype(jnp.uint8)
     return hard, soft_info, ok[:b, 0].astype(bool), iters[:b, 0]
 

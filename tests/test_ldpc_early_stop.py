@@ -81,6 +81,23 @@ class TestEarlyStop:
         hard, _, ok, iters = ldpc_decode_es(jnp.asarray(llr), bg, z, "CRC16", kp)
         assert np.asarray(ok).all() and (np.asarray(hard) == info).all()
 
+    @pytest.mark.parametrize("bg,z", [(BaseGraph.BG1, 96), (BaseGraph.BG2, 64)])
+    def test_es16_bit_exact_vs_int32(self, bg, z):
+        """The int16 batch-major production kernel matches the int32 kernel
+        bit-for-bit on noisy, partially-converging batches (incl. padding)."""
+        from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import (
+            ldpc_decode_pallas_es16)
+
+        info, llr, kp = _crc_codewords(bg, z, 7, "CRC24B", seed=11)
+        rng = np.random.default_rng(12)
+        noisy = np.where(rng.random(llr.shape) < 0.07, -llr // 2, llr).astype(np.int8)
+        # One hopeless CB to exercise the non-converged path.
+        noisy[3] = rng.integers(-20, 20, noisy.shape[1]).astype(np.int8)
+        r32 = ldpc_decode_pallas_es(jnp.asarray(noisy), bg, z, "CRC24B", kp, 6)
+        r16 = ldpc_decode_pallas_es16(jnp.asarray(noisy), bg, z, "CRC24B", kp, 6)
+        for a, b in zip(r32, r16):
+            assert (np.asarray(a) == np.asarray(b)).all()
+
     def test_undecodable_reports_failure_and_max_iters(self):
         bg, z = BaseGraph.BG1, 64
         rng = np.random.default_rng(7)
