@@ -279,7 +279,7 @@ def _make_kernel_delta_es(bg: BaseGraph, z: int, max_iterations: int,
         soft[0] = jnp.zeros((b_tile, z), jnp.int32)
         soft[1] = jnp.zeros((b_tile, z), jnp.int32)
         for c in range(2, nv):
-            x = llr_ref[:, c - 2, :].astype(jnp.int32)
+            x = llr_ref[c - 2].astype(jnp.int32)
             soft[c] = pltpu.roll(x, (z - final_dom[c]) % z, axis=1)
         min1[...] = jnp.zeros((m, b_tile, z), jnp.int32)
         min2[...] = jnp.zeros((m, b_tile, z), jnp.int32)
@@ -375,7 +375,7 @@ def _make_kernel_delta_es(bg: BaseGraph, z: int, max_iterations: int,
         for c in range(g.kb):
             final = jnp.where(dmask > 0, out_soft[c], soft[c])
             back = pltpu.roll(final, final_dom[c] % z, axis=1) if final_dom[c] % z else final
-            out_ref[:, c, :] = jnp.clip(back, -LLR_INFTY, LLR_INFTY).astype(jnp.int8)
+            out_ref[c] = jnp.clip(back, -LLR_INFTY, LLR_INFTY).astype(jnp.int8)
         ok_ref[...] = dmask.astype(jnp.int8)
         it_ref[...] = itcnt[...]
 
@@ -641,7 +641,7 @@ def ldpc_decode_pallas_es(
         llrs = jnp.concatenate(
             [llrs, jnp.full((pad, llrs.shape[1]), LLR_INFTY, llrs.dtype)], 0)
     bp = llrs.shape[0]
-    x = llrs.reshape(bp, g.n_full - 2, z)
+    x = jnp.transpose(llrs.reshape(bp, g.n_full - 2, z), (1, 0, 2))
 
     dev = jax.devices()[0]
     interpret = not (dev.platform == "tpu" or "TPU" in str(dev))
@@ -649,19 +649,19 @@ def ldpc_decode_pallas_es(
         kernel,
         grid=(bp // b_tile,),
         in_specs=[
-            pl.BlockSpec((b_tile, g.n_full - 2, z), lambda i: (i, 0, 0),
+            pl.BlockSpec((g.n_full - 2, b_tile, z), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g.kb, 1, z), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b_tile, g.kb, z), lambda i: (i, 0, 0),
+            pl.BlockSpec((g.kb, b_tile, z), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, z), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, z), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bp, g.kb, z), jnp.int8),
+            jax.ShapeDtypeStruct((g.kb, bp, z), jnp.int8),
             jax.ShapeDtypeStruct((bp, z), jnp.int8),
             jax.ShapeDtypeStruct((bp, z), jnp.int32),
         ],
@@ -678,7 +678,7 @@ def ldpc_decode_pallas_es(
         ],
         interpret=interpret,
     )(x, jnp.asarray(mask))
-    soft_info = out.reshape(bp, g.kb * z)[:b]
+    soft_info = jnp.transpose(out, (1, 0, 2)).reshape(bp, g.kb * z)[:b]
     hard = (soft_info <= 0).astype(jnp.uint8)
     return hard, soft_info, ok[:b, 0].astype(bool), iters[:b, 0]
 
