@@ -56,6 +56,10 @@ class PuschRxConfig(SchChainConfig):
     #: Equalizer: "mmse" (reference default) or "zf"
     #: (reference: lib/phy/upper/equalization/equalize_zf_1xn.h).
     equalizer: str = "mmse"
+    #: Store the demodulated resource grid as bfloat16 real pairs (the
+    #: reference's cbf16 grid, resource_grid_impl.h:41-51); estimation and
+    #: equalization still run in float32 on the extracted REs.
+    grid_bf16: bool = False
     #: UCI payload bits multiplexed on PUSCH (TS 38.212 Section 6.2.7: <=2 ACK
     #: bits puncture the SCH, >2 and CSI are rate-matched around).
     nof_harq_ack_bits: int = 0
@@ -251,10 +255,10 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         if cfg.dynamic_params:
             assert ref_dmrs is not None and dyn_signs is not None, \
                 "dynamic_params programs take (grid, harq, ref_dmrs, dyn_signs)"
-        rx_pilots = grid[:, :, dmrs_syms][:, :, :, pil_subc, :]  # (B, P, ndmrs, npil, 2)
+        rx_pilots = grid[:, :, dmrs_syms][:, :, :, pil_subc, :].astype(jnp.float32)
         b = grid.shape[0]
         nre = cfg.nof_data_re
-        data = grid[:, :, data_syms]  # (B, P, nsym_d, nsubc, 2)
+        data = grid[:, :, data_syms].astype(jnp.float32)  # (B, P, nsym_d, nsubc, 2)
         # (B, nsym_d, nsubc, P, 2): symbol-major RE order for the demapper.
         y = jnp.transpose(data, (0, 2, 3, 1, 4))
 
@@ -502,6 +506,7 @@ def build_pusch_rx_slot(cfg: PuschRxConfig):
         grid = ofdm_mod.ofdm_demodulate(
             samples_pair, cfg.nof_subc, cfg.dft_size, cfg.numerology,
             cfg.slot % (1 << cfg.numerology),
+            out_dtype="bf16" if cfg.grid_bf16 else "f32",
         )
         return from_grid(grid, harq_buffer)
 

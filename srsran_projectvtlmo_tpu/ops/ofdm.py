@@ -97,11 +97,18 @@ def ofdm_modulate(grid_pair, dft_size: int, mu: int, slot_in_subframe: int = 0,
     return from_cplx(out)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def ofdm_demodulate(samples_pair, nsubc: int, dft_size: int, mu: int,
                     slot_in_subframe: int = 0, center_freq_hz: float = 0.0,
-                    scale: float = 1.0, cp: str = "normal"):
-    """(..., nsamples, 2) baseband -> (..., nsym, nsubc, 2) resource grid."""
+                    scale: float = 1.0, cp: str = "normal",
+                    out_dtype: str = "f32"):
+    """(..., nsamples, 2) baseband -> (..., nsym, nsubc, 2) resource grid.
+
+    out_dtype "bf16" stores the grid as bfloat16 real pairs — the TPU-native
+    analog of the reference's cbf16 resource grid
+    (reference: lib/phy/support/resource_grid_impl.h:41-51) — halving grid
+    HBM traffic between the lower PHY and the channel processors.
+    """
     nsym = nof_symbols_per_slot(cp)
     x = to_cplx(samples_pair)
     cps = cp_lengths(dft_size, mu, slot_in_subframe, cp)
@@ -118,7 +125,10 @@ def ofdm_demodulate(samples_pair, nsubc: int, dft_size: int, mu: int,
     grid = jnp.concatenate(
         [bins[..., dft_size - half:], bins[..., : nsubc - half]], axis=-1
     ) * jnp.complex64(scale)
-    return from_cplx(grid)
+    out = from_cplx(grid)
+    if out_dtype == "bf16":
+        out = out.astype(jnp.bfloat16)
+    return out
 
 
 # ----------------------------------------------------------- PRACH demod ----
