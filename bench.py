@@ -1,21 +1,26 @@
 #!/usr/bin/env python3
 """Benchmark driver: prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Progressive attempts under subprocess watchdogs (the target runtime's remote
-compiler is unreliable for some large programs: a wedged compile blocks the
-single-client device until the process dies, so every attempt runs in a child
-with a hard timeout):
+PRIMARY metric: the honest north-star PUSCH workload — 273 PRB, 30 kHz SCS,
+QAM256 R=948/1024, **4 rx ports, 2 layers** — mirroring the reference's
+`scs30_100MHz_256qam_rv0_4port_nlayer` benchmark profile
+(reference: tests/benchmarks/phy/upper/channel_processors/pusch/
+pusch_processor_benchmark.cpp:146-208,596: random resource-grid REs, LDPC
+decoder at 2 iterations with early stop enabled — random data never converges,
+so the measured path is the full 2-iteration decode, as in the reference).
 
-  1. Full PUSCH Rx slot pipeline (OFDM demod -> DM-RS estimate -> MMSE -> demap
-     -> descramble -> rate recovery -> layered min-sum LDPC decode -> CRC) at
-     BENCH_NRB PRBs, QAM256 R=0.92 -- the north-star-shaped workload.
-  2. The same at 24 PRBs.
-  3. LDPC decoder-only throughput (Pallas kernel).
-  4. OFDM modulate/demodulate slot rate.
+The pipeline spans OFDM demod -> DM-RS estimation -> MMSE -> soft demap ->
+descramble -> rate recovery -> LDPC -> CRC.  Slots batch per launch and
+launches are pipelined (dispatched back to back, synced at the end): the
+tunneled dev TPU adds a fixed ~25 ms launch->readback round trip that
+production deployments don't have; aggregate throughput amortizes it exactly
+like the reference's multi-threaded `-T` harness amortizes thread dispatch.
 
-vs_baseline: slot metrics against the reference's implied real-time bound of
-2000 slots/s/cell (BASELINE.md); LDPC Mbps against the 622 Mbps sustained
-decode rate that bound implies at 273-PRB QAM256 (TBS 311368 x 2000/s).
+vs_baseline: against the 2000 slots/s/cell real-time bound implied by the
+reference's 100 MHz TDD 4x2 shipped config (BASELINE.md).
+
+Secondary lines (printed first; the driver keeps the LAST JSON line): p99
+launch latency, the legacy 1-port metric.
 """
 
 import json
@@ -30,34 +35,86 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(HERE, ".jax_cach
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
-def child_pusch(nrb: int, batch: int, iters: int, pallas: bool):
+def child_pusch_4port(batch: int, rounds: int, iters_ldpc: int):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from srsran_projectvtlmo_tpu.models.pusch_rx import (
+        PuschRxConfig, build_pusch_rx_slot)
+    from srsran_projectvtlmo_tpu.ran.modulation import Modulation
+    from srsran_projectvtlmo_tpu.ops import ofdm as ofdm_mod
+
+    cfg = PuschRxConfig(nof_rb=273, modulation=Modulation.QAM256,
+                        target_code_rate=948.0 / 1024.0,
+                        nof_rx_ports=4, nof_layers=2, dft_size=4096,
+                        numerology=1, use_pallas_decoder=True,
+                        ldpc_early_stop=True, nof_ldpc_iterations=iters_ldpc)
+    rx = build_pusch_rx_slot(cfg)
+    rng = np.random.default_rng(0)
+    # Random-RE grid, like the reference benchmark (complex normal REs).
+    nsamp = ofdm_mod.slot_sample_count(cfg.dft_size, cfg.numerology, 0)
+    inputs = [
+        jnp.asarray(rng.normal(
+            size=(batch, 4, nsamp, 2)).astype(np.float32) * 0.3)
+        for _ in range(2)
+    ]
+    # True warmup: compile + one synced execution.
+    np.asarray(rx(inputs[0])["tb_crc_ok"])
+    np.asarray(rx(inputs[1])["tb_crc_ok"])
+
+    # Latency: synced single launches.
+    lats = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        np.asarray(rx(inputs[i % 2])["tb_crc_ok"])
+        lats.append(time.perf_counter() - t0)
+    p99 = float(np.percentile(lats, 99))
+
+    # Aggregate throughput: pipelined launches, one final sync.
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(rounds):
+        outs.append(rx(inputs[i % 2])["tb_crc_ok"])
+    for o in outs:
+        np.asarray(o)
+    dt = time.perf_counter() - t0
+    rate = batch * rounds / dt
+    # Latency budget = max_proc_delay (3 slots) x 0.5 ms slot duration; the
+    # dev-tunnel RTT (~25 ms) dominates this number here.
+    print(json.dumps({
+        "metric": "pusch_rx_slot_p99_latency_273prb_qam256_4port_2layer",
+        "value": round(p99 * 1e3, 2), "unit": "ms (incl ~25ms tunnel RTT)",
+        "vs_baseline": round(1.5 / max(p99 * 1e3, 1e-9), 4)}))
+    return {"metric": "pusch_rx_slot_rate_273prb_qam256_4port_2layer",
+            "value": round(rate, 2), "unit": "slots/s",
+            "vs_baseline": round(rate / 2000.0, 4)}
+
+
+def child_pusch_1port(nrb: int, batch: int, iters: int):
     import numpy as np
     import jax
     import jax.numpy as jnp
     from srsran_projectvtlmo_tpu.models import build_pusch_rx_slot, build_ulsch_tx_slot
     from srsran_projectvtlmo_tpu.models.pusch_rx import PuschRxConfig
     from srsran_projectvtlmo_tpu.ran.modulation import Modulation
-    from srsran_projectvtlmo_tpu.utils.xfer import to_host
 
-    cfg = PuschRxConfig(nof_rb=nrb, modulation=Modulation.QAM256, target_code_rate=0.92,
-                        nof_rx_ports=1, dft_size=4096, numerology=1,
-                        use_pallas_decoder=pallas)
+    cfg = PuschRxConfig(nof_rb=nrb, modulation=Modulation.QAM256,
+                        target_code_rate=0.92, nof_rx_ports=1, dft_size=4096,
+                        numerology=1, use_pallas_decoder=True)
     tx = build_ulsch_tx_slot(cfg)
     rx = build_pusch_rx_slot(cfg)
     rng = np.random.default_rng(0)
     tb = rng.integers(0, 2, (batch, cfg.tbs)).astype(np.uint8)
     _, samples = tx(jnp.asarray(tb))
-    samples = jax.block_until_ready(samples)[:, None]
-    out = rx(samples)
-    jax.block_until_ready(out["tb_crc_ok"])
-    ok = to_host(out["tb_crc_ok"])
-    assert ok.all(), f"benchmark slot failed decode: {ok}"
+    samples = jnp.asarray(np.asarray(samples))[:, None]
+    ok = np.asarray(rx(samples)["tb_crc_ok"])
+    assert ok.all(), f"1-port benchmark slot failed decode: {ok}"
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = rx(samples)
-    jax.block_until_ready(out["tb_crc_ok"])
+    outs = [rx(samples)["tb_crc_ok"] for _ in range(iters)]
+    for o in outs:
+        np.asarray(o)
     rate = batch * iters / (time.perf_counter() - t0)
-    return {"metric": f"pusch_rx_slot_rate_{nrb}prb_qam256",
+    return {"metric": f"pusch_rx_slot_rate_{nrb}prb_qam256_1port",
             "value": round(rate, 2), "unit": "slots/s",
             "vs_baseline": round(rate / 2000.0, 4)}
 
@@ -68,45 +125,23 @@ def child_ldpc(z: int, batch: int, iters_ldpc: int, reps: int):
     import jax.numpy as jnp
     from srsran_projectvtlmo_tpu.ran.ldpc_params import BaseGraph
     from srsran_projectvtlmo_tpu.ops.ldpc.encode import ldpc_encode
-    from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas_v2 import ldpc_decode_pallas_v2
+    from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import ldpc_decode_pallas
 
     rng = np.random.default_rng(0)
     info = rng.integers(0, 2, (batch, 22 * z)).astype(np.uint8)
-    cw = jax.block_until_ready(ldpc_encode(jnp.asarray(info), BaseGraph.BG1, z))
-    llr = jnp.asarray(((1 - 2 * np.asarray(cw)[:, 2 * z:].astype(np.int32)) * 8).astype(np.int8))
-    hard, _ = ldpc_decode_pallas_v2(llr, BaseGraph.BG1, z, iters_ldpc)
-    jax.block_until_ready(hard)
+    cw = np.asarray(ldpc_encode(jnp.asarray(info), BaseGraph.BG1, z))
+    llr = jnp.asarray(((1 - 2 * cw[:, 2 * z:].astype(np.int32)) * 8).astype(np.int8))
+    hard, _ = ldpc_decode_pallas(llr, BaseGraph.BG1, z, iters_ldpc)
     assert (np.asarray(hard) == info).all()
     t0 = time.perf_counter()
-    for _ in range(reps):
-        hard, _ = ldpc_decode_pallas_v2(llr, BaseGraph.BG1, z, iters_ldpc)
-    jax.block_until_ready(hard)
+    outs = [ldpc_decode_pallas(llr, BaseGraph.BG1, z, iters_ldpc)[0]
+            for _ in range(reps)]
+    for o in outs:
+        np.asarray(o[:1])
     mbps = batch * reps * 22 * z / (time.perf_counter() - t0) / 1e6
     return {"metric": f"ldpc_decode_bg1_z{z}_{iters_ldpc}it",
             "value": round(mbps, 1), "unit": "Mbps",
-            "vs_baseline": round(mbps / 622.0, 4)}
-
-
-def child_ofdm(batch: int, reps: int):
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-    from srsran_projectvtlmo_tpu.ops import ofdm
-
-    rng = np.random.default_rng(0)
-    grid = rng.normal(size=(batch, 14, 273 * 12, 2)).astype(np.float32)
-    g = jnp.asarray(grid)
-    s = jax.block_until_ready(ofdm.ofdm_modulate(g, 4096, 1, 0))
-    back = jax.block_until_ready(ofdm.ofdm_demodulate(s, 273 * 12, 4096, 1, 0))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        s = ofdm.ofdm_modulate(g, 4096, 1, 0)
-        back = ofdm.ofdm_demodulate(s, 273 * 12, 4096, 1, 0)
-    jax.block_until_ready(back)
-    rate = batch * reps / (time.perf_counter() - t0)
-    return {"metric": "ofdm_mod_demod_slot_rate_273prb",
-            "value": round(rate, 1), "unit": "slots/s",
-            "vs_baseline": round(rate / 2000.0, 4)}
+            "vs_baseline": round(mbps / 1278.0, 4)}
 
 
 def run_child(spec: dict, budget_s: int):
@@ -133,25 +168,20 @@ def main() -> None:
     if spec_env:
         spec = json.loads(spec_env)
         kind = spec.pop("kind")
-        result = {"pusch": child_pusch, "ldpc": child_ldpc, "ofdm": child_ofdm}[kind](**spec)
+        result = {"pusch4": child_pusch_4port, "pusch1": child_pusch_1port,
+                  "ldpc": child_ldpc}[kind](**spec)
         print(json.dumps(result))
         return
 
-    nrb = int(os.environ.get("BENCH_NRB", "273"))
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    # (spec, per-try budget seconds, tries): the remote compiler is erratic --
-    # the same program can compile in seconds or wedge; a fresh process retry
-    # usually resolves it. Slots batch per launch (multi-cell aggregation):
-    # per-launch dispatch latency through the tunnel dominates small batches,
-    # so the aggregate rate climbs with batch (measured 535/815/981 slots/s at
-    # batch 4/8/16).
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "30"))
+    # Progressive attempts under subprocess watchdogs (the remote compiler can
+    # wedge; a fresh process retry usually resolves it).
     attempts = [
-        ({"kind": "pusch", "nrb": nrb, "batch": batch, "iters": iters, "pallas": True}, 700, 2),
-        ({"kind": "pusch", "nrb": nrb, "batch": 4, "iters": iters, "pallas": True}, 600, 2),
-        ({"kind": "pusch", "nrb": 24, "batch": batch, "iters": iters, "pallas": True}, 500, 2),
-        ({"kind": "ldpc", "z": 256, "batch": 32, "iters_ldpc": 6, "reps": 10}, 400, 2),
-        ({"kind": "ofdm", "batch": 4, "reps": 10}, 300, 2),
+        ({"kind": "pusch4", "batch": batch, "rounds": rounds,
+          "iters_ldpc": 2}, 900, 2),
+        ({"kind": "pusch1", "nrb": 273, "batch": 16, "iters": 10}, 700, 2),
+        ({"kind": "ldpc", "z": 384, "batch": 608, "iters_ldpc": 2, "reps": 10}, 500, 2),
     ]
     for spec, budget, tries in attempts:
         for _ in range(tries):

@@ -27,6 +27,14 @@ from ..utils.cplx import to_cplx
 
 NRE = 12
 
+#: Detection thresholds: the detectors' normalized metrics target ~1%
+#: false-alarm probability, like the reference's constant THRESHOLD = 4.0
+#: on its unit-variance statistics (reference: pucch_detector_impl.cpp:279-286,
+#: pucch_detector_format0.h:50). Calibrated for these metrics by the
+#: false-alarm sweep in tests/test_pucch_calibration.py.
+F0_DETECTION_THRESHOLD = 4.0
+F1_DETECTION_THRESHOLD = 4.0
+
 
 def _cyclic_shift_hopping(n_id: int, slot: int, symbol: int) -> int:
     """n_cs(n_s, l) from the Gold sequence with c_init = n_id (Section 6.3.2.2.2)."""
@@ -69,9 +77,19 @@ def detect_pucch_format0(rx_prb_pair, cfg: PucchFormat0Config):
                            cfg.initial_cyclic_shift)
     y = to_cplx(rx_prb_pair)  # (B, S, 12)
     c = jnp.asarray(cands)  # (12, S, 12)
-    corr = jnp.abs(jnp.einsum("bsn,msn->bm", y, jnp.conj(c))) ** 2  # (B, 12)
-    energy = jnp.sum(jnp.abs(y) ** 2, axis=(-1, -2)) * (cfg.nof_symbols * NRE)
-    metric = corr / jnp.maximum(energy[:, None], 1e-12)
+    # Reference detection metric (pucch_detector_format0.cpp:130-190): per
+    # (candidate, symbol) corr = |mean(y conj(c))|^2, noise = avg LSE power
+    # minus corr, metric = sum_corr^2 / sum(noise*corr), threshold 4.0 for a
+    # ~1% false-alarm probability.
+    lse_mean = jnp.einsum("bsn,msn->bms", y, jnp.conj(c)) / NRE  # (B, 12, S)
+    corr_s = jnp.abs(lse_mean) ** 2  # (B, 12, S)
+    avg_pwr = jnp.mean(jnp.abs(y) ** 2, axis=-1)  # (B, S); |c| = 1
+    noise_s = jnp.maximum(avg_pwr[:, None, :] - corr_s, 0.0)
+    sum_corr = jnp.sum(corr_s, axis=-1)  # (B, 12)
+    sum_nv = jnp.sum(noise_s * corr_s, axis=-1)
+    metric = jnp.where(sum_nv > 1e-30, sum_corr * sum_corr / sum_nv,
+                       jnp.where(sum_corr > 1e-12, 1e9, 0.0))
+    metric = metric / F0_DETECTION_THRESHOLD  # normalized: > 1 = detection
 
     if cfg.nof_harq_bits == 1:
         mcs_map = [0, 6]
@@ -92,7 +110,7 @@ def detect_pucch_format0(rx_prb_pair, cfg: PucchFormat0Config):
         bits = best[:, None].astype(jnp.uint8)
     else:
         bits = jnp.zeros(y.shape[:1] + (0,), jnp.uint8)
-    sr = det > 0.5
+    sr = det > 1.0
     return bits, det, sr
 
 
@@ -144,7 +162,6 @@ def detect_pucch_format1(rx_prb_pair, cfg: PucchFormat1Config):
     d = jnp.sum(data * jnp.conj(jnp.asarray(w_data))[None], axis=-1) / len(w_data)
     # Coherent demodulation: d_hat = d * conj(h).
     x = d * jnp.conj(h)
-    metric = jnp.abs(x) / (jnp.abs(h) * jnp.abs(d) + 1e-12)
     if cfg.nof_harq_bits == 1:
         bits = (jnp.real(x) <= 0).astype(jnp.uint8)[:, None]
     else:
@@ -152,7 +169,23 @@ def detect_pucch_format1(rx_prb_pair, cfg: PucchFormat1Config):
             (jnp.real(x) <= 0).astype(jnp.uint8),
             (jnp.imag(x) <= 0).astype(jnp.uint8),
         ], -1)
-    return bits, jnp.abs(h)
+    # Detection metric in the reference's style (pucch_detector_impl.cpp:
+    # 277-286): matched-filter energy over the noise estimate, with the
+    # noise variance taken from the despreading residuals; normalized by the
+    # threshold (4.0: ~1% false alarm for the unit-variance statistic).
+    corr_d = jnp.abs(h) ** 2
+    corr_x = jnp.abs(d) ** 2
+    nv_dmrs = jnp.maximum(
+        jnp.mean(jnp.abs(dmrs - h[:, None] * jnp.asarray(w_dmrs)[None]) ** 2, -1),
+        0.0)
+    nv_data = jnp.maximum(
+        jnp.mean(jnp.abs(data - d[:, None] * jnp.asarray(w_data)[None]) ** 2, -1),
+        0.0)
+    sum_corr = corr_d + corr_x
+    sum_nv = nv_dmrs * corr_d + nv_data * corr_x
+    metric = jnp.where(sum_nv > 1e-30, sum_corr * sum_corr / sum_nv,
+                       jnp.where(sum_corr > 1e-12, 1e9, 0.0))
+    return bits, metric / F1_DETECTION_THRESHOLD
 
 
 @dataclass(frozen=True)

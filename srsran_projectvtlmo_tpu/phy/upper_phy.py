@@ -294,7 +294,7 @@ class UpperPhy:
             bits, metric, sr = pucch_mod.detect_pucch_format0(jnp.asarray(sub[None]), f0)
             return UciIndication(slot=slot, rnti=pdu.rnti,
                                  harq_bits=to_host(bits)[0], uci_bits=None,
-                                 valid=bool(to_host(metric)[0] > 0.25),
+                                 valid=bool(to_host(metric)[0] > 1.0),
                                  sr_detected=bool(to_host(sr)[0]))
         if pdu.format == 1:
             f1 = pucch_mod.PucchFormat1Config(
@@ -306,7 +306,7 @@ class UpperPhy:
             bits, metric = pucch_mod.detect_pucch_format1(jnp.asarray(sub[None]), f1)
             return UciIndication(slot=slot, rnti=pdu.rnti,
                                  harq_bits=to_host(bits)[0], uci_bits=None,
-                                 valid=bool(to_host(metric)[0] > 0.1))
+                                 valid=bool(to_host(metric)[0] > 1.0))
         if pdu.format == 2:
             f2 = pucch_mod.PucchFormat2Config(
                 n_id=pdu.n_id, n_id0=pdu.n_id0, rnti=pdu.rnti, slot=slot,

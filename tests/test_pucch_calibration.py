@@ -1,0 +1,99 @@
+"""PUCCH detection-metric calibration: false-alarm rate on pure noise and
+detection probability at operating SNR for the normalized (threshold = 1.0)
+metrics (reference semantics: THRESHOLD = 4.0 for ~1% false alarm,
+pucch_detector_impl.cpp:279-286, pucch_detector_format0.h:50)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from srsran_projectvtlmo_tpu.phy import pucch as pucch_mod
+
+
+def _f0_cfg(**kw):
+    return pucch_mod.PucchFormat0Config(
+        n_id=kw.get("n_id", 7), slot=0, start_symbol=12, nof_symbols=2,
+        initial_cyclic_shift=3, nof_harq_bits=2, sr_opportunity=False)
+
+
+def _f1_cfg():
+    return pucch_mod.PucchFormat1Config(
+        n_id=9, slot=0, start_symbol=4, nof_symbols=8,
+        initial_cyclic_shift=0, time_domain_occ=0, nof_harq_bits=2)
+
+
+class TestFalseAlarm:
+    def test_format0_noise_only(self):
+        rng = np.random.default_rng(0)
+        cfg = _f0_cfg()
+        trials = 200
+        noise = (rng.normal(size=(trials, 2, 12))
+                 + 1j * rng.normal(size=(trials, 2, 12))) / np.sqrt(2)
+        pair = np.stack([noise.real, noise.imag], -1).astype(np.float32)
+        _, metric, _ = pucch_mod.detect_pucch_format0(jnp.asarray(pair), cfg)
+        fa = float(np.mean(np.asarray(metric) > 1.0))
+        assert fa <= 0.05, f"format 0 false-alarm rate {fa:.3f}"
+
+    def test_format1_noise_only(self):
+        rng = np.random.default_rng(1)
+        cfg = _f1_cfg()
+        trials = 200
+        noise = (rng.normal(size=(trials, 8, 12))
+                 + 1j * rng.normal(size=(trials, 8, 12))) / np.sqrt(2)
+        pair = np.stack([noise.real, noise.imag], -1).astype(np.float32)
+        _, metric = pucch_mod.detect_pucch_format1(jnp.asarray(pair), cfg)
+        fa = float(np.mean(np.asarray(metric) > 1.0))
+        assert fa <= 0.05, f"format 1 false-alarm rate {fa:.3f}"
+
+
+class TestDetection:
+    def test_format0_detects_at_5db(self):
+        """Transmitted F0 (bits 1,0) detects reliably at 5 dB SNR."""
+        from srsran_projectvtlmo_tpu.ops.low_papr import (
+            low_papr_sequence, pucch_group_sequence)
+        rng = np.random.default_rng(2)
+        cfg = _f0_cfg()
+        u, v = pucch_group_sequence(cfg.n_id)
+        amp = 10 ** (5 / 20.0)
+        hits = 0
+        trials = 20
+        for t in range(trials):
+            grid = np.zeros((2, 12), np.complex64)
+            for s in range(2):
+                ncs = pucch_mod._cyclic_shift_hopping(cfg.n_id, 0, 12 + s)
+                alpha = 2 * np.pi * ((3 + 9 + ncs) % 12) / 12  # bits (1,0)
+                grid[s] = amp * low_papr_sequence(u, v, alpha, 12)
+            grid += (rng.normal(size=grid.shape)
+                     + 1j * rng.normal(size=grid.shape)) / np.sqrt(2)
+            pair = np.stack([grid.real, grid.imag], -1).astype(np.float32)[None]
+            bits, metric, _ = pucch_mod.detect_pucch_format0(jnp.asarray(pair), cfg)
+            if float(np.asarray(metric)[0]) > 1.0 and \
+               np.array_equal(np.asarray(bits)[0], [1, 0]):
+                hits += 1
+        assert hits >= trials - 2, f"detected only {hits}/{trials}"
+
+    def test_format1_detects_at_5db(self):
+        rng = np.random.default_rng(3)
+        cfg = _f1_cfg()
+        seqs, w_data, w_dmrs = pucch_mod._f1_tables(cfg)
+        amp = 10 ** (5 / 20.0)
+        hits = 0
+        trials = 20
+        x = np.exp(1j * np.pi / 4) * (1 - 2 * np.array([1, 0]))  # bits 1,0: QPSK
+        sym = (x[0].real + x[1].real * 1j)  # not used; modulate below
+        d = (1 - 2 * 1 + 1j * (1 - 2 * 0)) / np.sqrt(2)  # bits (1, 0)
+        for t in range(trials):
+            h = (rng.normal() + 1j * rng.normal()) / np.sqrt(2)
+            grid = np.zeros((8, 12), np.complex64)
+            for i, s in enumerate(range(0, 8, 2)):  # DM-RS on even symbols
+                grid[s] = amp * h * w_dmrs[i] * seqs[s]
+            for i, s in enumerate(range(1, 8, 2)):
+                grid[s] = amp * h * d * w_data[i] * seqs[s]
+            grid += (rng.normal(size=grid.shape)
+                     + 1j * rng.normal(size=grid.shape)) / np.sqrt(2)
+            pair = np.stack([grid.real, grid.imag], -1).astype(np.float32)[None]
+            bits, metric = pucch_mod.detect_pucch_format1(jnp.asarray(pair), cfg)
+            if float(np.asarray(metric)[0]) > 1.0 and \
+               np.array_equal(np.asarray(bits)[0], [1, 0]):
+                hits += 1
+        assert hits >= trials - 2, f"detected only {hits}/{trials}"
