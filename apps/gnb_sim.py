@@ -35,6 +35,9 @@ def main() -> int:
     ap.add_argument("--config", default=None, help="YAML cell config")
     ap.add_argument("--trace", default=None, help="write Chrome trace JSON here")
     ap.add_argument("--iq-out", default=None, help="record DL IQ to this file")
+    ap.add_argument("--streaming", action="store_true",
+                    help="feed UL symbol-by-symbol through the rx-symbol "
+                         "handler (reference: upper_phy_rx_symbol_handler)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -118,11 +121,33 @@ def main() -> int:
                                               slot % (1 << cell.numerology)))
                 for p in range(cell.nof_rx_ports)
             ])
-            ul_req = UlTtiRequest(slot=slot, pusch=(
-                PuschPdu(rnti=0x4601, rb_start=0, rb_size=pusch_rb, modulation=mod,
-                         target_code_rate=args.code_rate, n_id=cell.phys_cell_id,
-                         dmrs_symbols=(2,)),))
-            inds = phy.process_ul_slot(ul_req, rx_samples)
+            pusch_pdu = PuschPdu(rnti=0x4601, rb_start=0, rb_size=pusch_rb,
+                                 modulation=mod, target_code_rate=args.code_rate,
+                                 n_id=cell.phys_cell_id, dmrs_symbols=(2,))
+            ul_req = UlTtiRequest(slot=slot, pusch=(pusch_pdu,))
+            if args.streaming:
+                # Symbol-streaming dispatch: demodulate the carrier once, then
+                # feed the grid symbol by symbol; the PDU fires when its last
+                # symbol arrives (reference:
+                # upper_phy_rx_symbol_handler_impl.cpp:48-131).
+                from srsran_projectvtlmo_tpu.phy.rx_symbol_handler import (
+                    RxSymbolHandler)
+
+                handler = RxSymbolHandler(cell.nof_rx_ports, cell.nof_subc)
+                handler.repo.add(slot, pusch_pdu)
+                full_grid = pair_to_np(np.asarray(ofdm.ofdm_demodulate(
+                    jnp.asarray(rx_samples), cell.nof_subc, cell.dft_size,
+                    cell.numerology, slot % (1 << cell.numerology))))
+                inds = []
+                for sym in range(14):
+                    ready = handler.handle_rx_symbol(slot, sym, full_grid[:, sym, :])
+                    for pdu in ready:
+                        req = UlTtiRequest(slot=slot, pusch=(pdu,))
+                        inds.extend(phy.process_ul_slot(req, rx_samples,
+                                                        validate=False))
+                handler.release_slot(slot)
+            else:
+                inds = phy.process_ul_slot(ul_req, rx_samples)
             for ind in inds:
                 if isinstance(ind, CrcIndication):
                     crc_ok += int(ind.tb_crc_ok)
