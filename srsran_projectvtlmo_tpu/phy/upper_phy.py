@@ -205,6 +205,8 @@ class UpperPhy:
             indications.append(self._process_srs(slot, pdu, grid, samples))
 
         if prach_samples is not None:
+            from .prach_buffer import PrachBuffer
+
             for pdu in request.prach:
                 det_cfg = prach_mod.PrachDetectorConfig(
                     sequence_length=prach_mod.LONG if pdu.format_is_long else prach_mod.SHORT,
@@ -212,7 +214,15 @@ class UpperPhy:
                     zero_correlation_zone=pdu.zero_correlation_zone,
                     ncs_table="1.25kHz" if pdu.format_is_long else "short",
                 )
-                dets = prach_mod.prach_detect(jnp.asarray(prach_samples[None]), det_cfg)[0]
+                if isinstance(prach_samples, PrachBuffer):
+                    # (S, P, L, 2) occasion -> (1, P, S, L, 2) detector input
+                    # with multi-port non-coherent combining.
+                    occ = np.transpose(
+                        prach_samples.occasion(getattr(pdu, "fd_occasion", 0)),
+                        (1, 0, 2, 3))[None]
+                else:
+                    occ = prach_samples[None]
+                dets = prach_mod.prach_detect(jnp.asarray(occ), det_cfg)[0]
                 indications.append(RachIndication(slot=slot, preambles=dets))
 
         return indications

@@ -1,0 +1,164 @@
+"""Thread-sanitizer analog: lockset race detection + lock-order checking.
+
+The reference runs its lockfree/threaded host code under TSAN in CI
+(reference: CMakeLists.txt:59-60).  These tests exercise the Python
+equivalent (utils/sanitizer.py) on synthetic patterns and on the
+framework's real threaded components (phy/realtime.py BasebandChain).
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from srsran_projectvtlmo_tpu.utils import sanitizer
+from srsran_projectvtlmo_tpu.utils.sanitizer import Monitored, TrackedLock
+
+
+@pytest.fixture(autouse=True)
+def _san():
+    sanitizer.enable()
+    yield
+    sanitizer.disable()
+
+
+class _Counter:
+    def __init__(self):
+        self.value = 0
+
+
+def _hammer(mon, lock=None, n=200):
+    for _ in range(n):
+        if lock is not None:
+            with lock:
+                mon.value = mon.value + 1
+        else:
+            mon.value = mon.value + 1
+
+
+def test_unlocked_shared_write_is_reported():
+    mon = Monitored(_Counter(), "counter")
+    ts = [threading.Thread(target=_hammer, args=(mon,)) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert any("data race" in r and "counter.value" in r
+               for r in sanitizer.reports()), sanitizer.reports()
+
+
+def test_common_lock_suppresses_report():
+    mon = Monitored(_Counter(), "counter")
+    lock = TrackedLock("counter_lock")
+    ts = [threading.Thread(target=_hammer, args=(mon, lock)) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not sanitizer.reports(), sanitizer.reports()
+    assert mon.value == 400
+
+
+def test_thread_local_init_then_publish_is_clean():
+    # virgin -> exclusive on the owner thread, then read-only sharing: no race.
+    mon = Monitored(_Counter(), "published")
+    mon.value = 42  # exclusive init by main thread
+    seen = []
+    ts = [threading.Thread(target=lambda: seen.append(mon.value))
+          for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert seen == [42] * 4
+    assert not sanitizer.reports(), sanitizer.reports()
+
+
+def test_lock_order_inversion_detected_without_deadlock():
+    a, b = TrackedLock("A"), TrackedLock("B")
+    done = threading.Event()
+
+    def t1():
+        with a:
+            with b:
+                pass
+        done.set()
+
+    th = threading.Thread(target=t1)
+    th.start()
+    th.join()
+    assert done.is_set()
+    # Reverse order on the same thread later: never actually deadlocks, but
+    # the acquisition graph now has A->B and B->A.
+    with b:
+        with a:
+            pass
+    assert any("lock-order inversion" in r for r in sanitizer.reports()), \
+        sanitizer.reports()
+
+
+def test_consistent_lock_order_is_clean():
+    a, b = TrackedLock("A2"), TrackedLock("B2")
+    for _ in range(10):
+        with a:
+            with b:
+                pass
+    assert not sanitizer.reports(), sanitizer.reports()
+
+
+def test_baseband_chain_stress_is_race_free():
+    """The real BasebandChain under producer/consumer stress: its shared
+    state crosses threads only through queue.Queue, so the sanitizer must
+    stay quiet while results stream."""
+    from srsran_projectvtlmo_tpu.phy.realtime import BasebandChain
+
+    state = Monitored(_Counter(), "chain_state")
+    lock = TrackedLock("chain_lock")
+
+    def process(req):
+        with lock:
+            state.value = state.value + req
+        return req * 2
+
+    chain = BasebandChain("san-test", process, queue_depth=4)
+    chain.start()
+    try:
+        for i in range(50):
+            chain.enqueue(1, timeout=5.0)
+        got = 0
+        deadline = time.time() + 10.0
+        while got < 50 and time.time() < deadline:
+            got += len(chain.results())
+            time.sleep(0.005)
+        # Consumer-side read of the monitored counter under the same lock.
+        with lock:
+            total = state.value
+    finally:
+        chain.stop()
+    assert got == 50
+    assert total == 50
+    assert not sanitizer.reports(), sanitizer.reports()
+
+
+def test_prach_collector_cross_thread_misuse_detected():
+    """PrachOccasionCollector is documented single-consumer; feeding it from
+    two threads without a lock is a misuse the sanitizer catches."""
+    from srsran_projectvtlmo_tpu.phy.realtime import PrachOccasionCollector
+
+    col = PrachOccasionCollector()
+    col.configure(slot=0, start_symbol=0, nof_symbols=64)
+    mon = Monitored(col, "prach_collector")
+    samp = np.zeros(8, np.complex64)
+
+    def feed(base):
+        for s in range(base, 64, 2):
+            mon.state = mon.state  # touch shared state unlocked
+            col.on_symbol(0, s, samp)
+
+    ts = [threading.Thread(target=feed, args=(k,)) for k in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert any("prach_collector.state" in r for r in sanitizer.reports())
