@@ -154,13 +154,20 @@ def run_child(spec: dict, budget_s: int):
         return None
     if proc.returncode != 0:
         return None
-    for line in reversed(proc.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-    return None
+    result = None
+    for line in proc.stdout.strip().splitlines():
+        if not line.startswith("{"):
+            continue
+        try:
+            parsed = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if result is not None:
+            # Earlier JSON lines are secondary metrics: pass them through
+            # (the driver keeps the LAST line as the headline).
+            print(json.dumps(result))
+        result = parsed
+    return result
 
 
 def main() -> None:
