@@ -162,6 +162,8 @@ def run_child(spec: dict, budget_s: int):
             parsed = json.loads(line)
         except json.JSONDecodeError:
             continue
+        if not (isinstance(parsed, dict) and "metric" in parsed and "value" in parsed):
+            continue  # incidental JSON-shaped log line, not a metric
         if result is not None:
             # Earlier JSON lines are secondary metrics: pass them through
             # (the driver keeps the LAST line as the headline).

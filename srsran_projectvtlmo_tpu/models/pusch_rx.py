@@ -28,10 +28,11 @@ import numpy as np
 from ..ran.modulation import bits_per_symbol
 from ..ops import prg as prg_mod
 from ..ops import ofdm as ofdm_mod
-from ..ops.crc import crc_check_device
+from ..ops.crc import crc_check_device, crc_check_device_cbs
 from ..ops.channel_estimate import estimate_channel_hop
 from ..ops.dmrs import dmrs_type1_sequence
-from ..ops.equalization import mmse_weights, zf_weights, apply_weights
+from ..ops.equalization import (
+    mmse_weights, zf_weights, apply_weights, apply_weights_ports_first)
 from ..ops.demodulation import soft_demap
 from ..ops.ldpc import rate_matching as rm
 from ..ops.ldpc.decode import ldpc_decode
@@ -159,6 +160,17 @@ class PuschRxConfig(SchChainConfig):
         ), info
 
 
+def flatten_tb_bits(tb_bits_cb, tbs: int):
+    """(B, C, Kpay) per-codeblock payload bits -> (B, tbs) TB bits.
+
+    Works on numpy (free view after a device fetch) or jnp arrays; the
+    device program returns the per-CB layout to avoid an XLA loop-ized
+    relayout copy (see build_pusch_rx_from_grid).
+    """
+    b = tb_bits_cb.shape[0]
+    return tb_bits_cb.reshape(b, -1)[:, :tbs]
+
+
 def decode_uci_field(llr_field, nof_payload_bits: int, qm: int):
     """Decode one UCI field from its extracted (B, G_field) LLRs.
 
@@ -238,6 +250,9 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     dmrs_epochs = tuple(epochs[cfg.start_symbol + int(s)] for s in cfg.dmrs_symbols)
     data_epochs = np.asarray(
         [epochs[cfg.start_symbol + int(s)] for s in cfg.data_symbols], np.float32)
+    all_epochs = np.asarray(
+        [epochs[cfg.start_symbol + s] for s in range(cfg.nof_ofdm_symbols)],
+        np.float32)
 
     nlayers = cfg.nof_layers
 
@@ -258,9 +273,15 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         rx_pilots = grid[:, :, dmrs_syms][:, :, :, pil_subc, :].astype(jnp.float32)
         b = grid.shape[0]
         nre = cfg.nof_data_re
-        data = grid[:, :, data_syms].astype(jnp.float32)  # (B, P, nsym_d, nsubc, 2)
-        # (B, nsym_d, nsubc, P, 2): symbol-major RE order for the demapper.
-        y = jnp.transpose(data, (0, 2, 3, 1, 4))
+        # Data REs stay in the grid's native ports-leading layout; the
+        # (B, P, T, S) -> (B, T, S, P) permutation folds into the equalizer
+        # einsum instead of materializing a transposed copy.  Non-hopping
+        # paths equalize ALL slot symbols (the estimate is slot-constant) and
+        # gather the data symbols from the ~5x smaller equalized output
+        # instead of from the raw multi-port grid.
+        grid_f = grid.astype(jnp.float32)
+        if hopping:
+            data = grid_f[:, :, data_syms]  # (B, P, nsym_d, nsubc, 2)
 
         # Equalizer weights are computed ONCE per subcarrier (the estimate is
         # slot-constant) and applied across the data symbols; the CFO
@@ -288,8 +309,11 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                 h_sub = jnp.transpose(ce, (1, 2, 0, 3))[..., None, :]  # (B, S, P, 1, 2)
                 nvar_port = jnp.transpose(est["noise_var"], (1, 0))  # (B, P)
                 w_k, nv_k = weights_fn(h_sub, nvar_port)  # (B,S,1,P,2), (B,S,1)
-                y_k = y[:, sym_off:sym_off + data_hop_count[k]]
-                eq_hops.append(apply_weights(w_k, y_k))  # (B, nsym_k, S, 1, 2)
+                if hopping:
+                    y_k = data[:, :, sym_off:sym_off + data_hop_count[k]]
+                    eq_hops.append(apply_weights_ports_first(w_k, y_k))
+                else:
+                    w_full = w_k  # applied after CFO is known (fused rotation)
                 nv_hops.append(jnp.broadcast_to(
                     nv_k[:, None], (b, data_hop_count[k], cfg.nof_subc, 1)))
                 sym_off += data_hop_count[k]
@@ -297,7 +321,8 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                 ta_hops.append(est["time_alignment_s"])
                 if len(epochs_k) >= 2:
                     cfo_hops.append(est["cfo_hz"])
-            eq = eq_hops[0] if nof_hops == 1 else jnp.concatenate(eq_hops, axis=1)
+            if hopping:
+                eq = jnp.concatenate(eq_hops, axis=1)
             eq_nvar = nv_hops[0] if nof_hops == 1 else jnp.concatenate(nv_hops, axis=1)
             noise = sum(noise_hops) / nof_hops
             ta = sum(ta_hops) / nof_hops
@@ -340,15 +365,23 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
 
             h_sub = jnp.transpose(ce, (2, 3, 1, 0, 4))  # (B, S, P, L, 2)
             nvar_port = jnp.transpose(noise, (1, 0))  # (B, P)
-            w, nv = weights_fn(h_sub, nvar_port)  # (B,S,L,P,2), (B,S,L)
-            eq = apply_weights(w, y)  # (B, nsym_d, S, L, 2)
+            w_full, nv = weights_fn(h_sub, nvar_port)  # (B,S,L,P,2), (B,S,L)
             eq_nvar = jnp.broadcast_to(
                 nv[:, None], (b, len(data_syms), cfg.nof_subc, nlayers))
             cfo_b = (jnp.mean(est["cfo_hz"], axis=(0, 1))
                      if (cfg.compensate_cfo and len(dmrs_epochs) >= 2) else None)
 
-        if cfo_b is not None:
-            # Output-side CFO derotation: x_l *= exp(-j 2 pi t_l cfo).
+        if not hopping:
+            # Equalize every slot symbol in the grid's native layout with the
+            # CFO derotation conj(e^{j 2 pi t cfo}) fused into the same pass,
+            # then gather the data symbols from the equalized output.
+            rot_all = None
+            if cfo_b is not None:
+                ang = (2.0 * np.pi) * cfo_b[:, None] * jnp.asarray(all_epochs)[None, :]
+                rot_all = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+            eq = apply_weights_ports_first(w_full, grid_f, rot_all)[:, data_syms]
+        elif cfo_b is not None:
+            # Hopping path: post-hoc derotation of the concatenated hops.
             ang = (2.0 * np.pi) * cfo_b[:, None] * jnp.asarray(data_epochs)[None, :]
             cr = jnp.cos(ang)[:, :, None, None]
             ci = jnp.sin(ang)[:, :, None, None]
@@ -359,45 +392,6 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         eq = eq.reshape(b, nre * nlayers, 2)
         eq_nvar = eq_nvar.reshape(b, nre * nlayers)
 
-        llr = soft_demap(eq, eq_nvar, cfg.modulation)  # (B, nre*L*qm) int8
-
-        if cfg.dynamic_params:
-            llr = llr.astype(jnp.int32) * dyn_signs.astype(jnp.int32)
-        else:
-            llr = llr.astype(jnp.int32) * jnp.asarray(descr_signs)[None, :]
-        llr = jnp.clip(llr, -127, 127).astype(jnp.int8)
-
-        uci_out = {}
-        if cfg.nof_harq_ack_bits:
-            ack_llr = llr[:, jnp.asarray(plan.ack_bit_idx)].astype(jnp.int32)
-            ack_llr = ack_llr * jnp.asarray(ack_fix, jnp.int32)
-            ack_bits, ack_metric = decode_uci_field(ack_llr, cfg.nof_harq_ack_bits, qm)
-        else:
-            ack_bits = jnp.zeros((b, 0), jnp.uint8)
-            ack_metric = jnp.zeros((b,), jnp.float32)
-        if len(plan.punct_bit_idx):
-            # <=2-bit ACK punctures: those positions carry no SCH/CSI2 info
-            # (the reference zeroes the RE after ACK extraction, before the
-            # CSI part 2 and SCH demux: ulsch_demultiplex_impl.cpp:493/499).
-            llr = llr.at[:, jnp.asarray(plan.punct_bit_idx)].set(0)
-        if cfg.nof_csi_part1_bits:
-            csi1_llr = llr[:, jnp.asarray(plan.csi1_bit_idx)].astype(jnp.int32)
-            csi1_llr = csi1_llr * jnp.asarray(csi1_fix, jnp.int32)
-            uci_out["csi1_bits"], uci_out["csi1_metric"] = decode_uci_field(
-                csi1_llr, cfg.nof_csi_part1_bits, qm)
-        if cfg.nof_csi_part2_bits:
-            csi2_llr = llr[:, jnp.asarray(plan.csi2_bit_idx)].astype(jnp.int32)
-            csi2_llr = csi2_llr * jnp.asarray(csi2_fix, jnp.int32)
-            uci_out["csi2_bits"], uci_out["csi2_metric"] = decode_uci_field(
-                csi2_llr, cfg.nof_csi_part2_bits, qm)
-        # The no-UCI placement is the identity: skip the 5M-element gather.
-        sch_idx = np.asarray(plan.sch_bit_idx)
-        if len(sch_idx) == llr.shape[-1] and np.array_equal(
-                sch_idx, np.arange(llr.shape[-1])):
-            sch_llr = llr
-        else:
-            sch_llr = llr[:, jnp.asarray(sch_idx)]
-
         # Batch codeblocks with equal rate-match size into one dematch
         # (typically <= 2 groups): CBs are a batch axis, not a loop.  The
         # groups are contiguous CB ranges (TS 38.212 assigns the smaller E to
@@ -406,14 +400,77 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         groups: dict[int, list[int]] = {}
         for j in range(c):
             groups.setdefault(int(es[j]), []).append(j)
-        parts = []
-        for e_val, js in groups.items():
-            assert js == list(range(js[0], js[-1] + 1)), "E groups not contiguous"
-            cb_llr = sch_llr[:, offsets[js[0]]:offsets[js[-1] + 1]]
-            cb_llr = cb_llr.reshape(b, len(js), e_val)
-            parts.append(rm.rate_dematch(cb_llr, seg.base_graph, z,
-                                         seg.nof_filler_bits_per_cb, cfg.rv,
-                                         e_val, qm))
+
+        has_uci = bool(cfg.nof_harq_ack_bits or cfg.nof_csi_part1_bits
+                       or cfg.nof_csi_part2_bits)
+        uci_out = {}
+        if not has_uci:
+            # Bit-major fast path (no UCI => SCH placement is the identity):
+            # demap emits per-bit planes (B, Qm, nre*L), which IS the
+            # rate-dematcher's deinterleaved order — the Section 5.4.2.2
+            # deinterleave and the SCH gather both vanish.
+            llr_bm = soft_demap(eq, eq_nvar, cfg.modulation, bit_major=True)
+            if cfg.dynamic_params:
+                signs_bm = jnp.transpose(
+                    dyn_signs.reshape(b, nre * nlayers, qm), (0, 2, 1))
+            else:
+                signs_bm = jnp.asarray(
+                    descr_signs.reshape(nre * nlayers, qm).T)[None]
+            llr_bm = jnp.clip(llr_bm.astype(jnp.int32) * signs_bm.astype(jnp.int32),
+                              -127, 127).astype(jnp.int8)
+            ack_bits = jnp.zeros((b, 0), jnp.uint8)
+            ack_metric = jnp.zeros((b,), jnp.float32)
+            parts = []
+            for e_val, js in groups.items():
+                assert js == list(range(js[0], js[-1] + 1)), "E groups not contiguous"
+                width = e_val // qm
+                re0 = offsets[js[0]] // qm
+                x4 = llr_bm[:, :, re0:re0 + len(js) * width]
+                x4 = x4.reshape(b, qm, len(js), width)
+                parts.append(rm.rate_dematch_bit_major(
+                    x4, seg.base_graph, z, seg.nof_filler_bits_per_cb,
+                    cfg.rv, e_val, qm))
+        else:
+            llr = soft_demap(eq, eq_nvar, cfg.modulation)  # (B, nre*L*qm) int8
+
+            if cfg.dynamic_params:
+                llr = llr.astype(jnp.int32) * dyn_signs.astype(jnp.int32)
+            else:
+                llr = llr.astype(jnp.int32) * jnp.asarray(descr_signs)[None, :]
+            llr = jnp.clip(llr, -127, 127).astype(jnp.int8)
+
+            if cfg.nof_harq_ack_bits:
+                ack_llr = llr[:, jnp.asarray(plan.ack_bit_idx)].astype(jnp.int32)
+                ack_llr = ack_llr * jnp.asarray(ack_fix, jnp.int32)
+                ack_bits, ack_metric = decode_uci_field(ack_llr, cfg.nof_harq_ack_bits, qm)
+            else:
+                ack_bits = jnp.zeros((b, 0), jnp.uint8)
+                ack_metric = jnp.zeros((b,), jnp.float32)
+            if len(plan.punct_bit_idx):
+                # <=2-bit ACK punctures: those positions carry no SCH/CSI2 info
+                # (the reference zeroes the RE after ACK extraction, before the
+                # CSI part 2 and SCH demux: ulsch_demultiplex_impl.cpp:493/499).
+                llr = llr.at[:, jnp.asarray(plan.punct_bit_idx)].set(0)
+            if cfg.nof_csi_part1_bits:
+                csi1_llr = llr[:, jnp.asarray(plan.csi1_bit_idx)].astype(jnp.int32)
+                csi1_llr = csi1_llr * jnp.asarray(csi1_fix, jnp.int32)
+                uci_out["csi1_bits"], uci_out["csi1_metric"] = decode_uci_field(
+                    csi1_llr, cfg.nof_csi_part1_bits, qm)
+            if cfg.nof_csi_part2_bits:
+                csi2_llr = llr[:, jnp.asarray(plan.csi2_bit_idx)].astype(jnp.int32)
+                csi2_llr = csi2_llr * jnp.asarray(csi2_fix, jnp.int32)
+                uci_out["csi2_bits"], uci_out["csi2_metric"] = decode_uci_field(
+                    csi2_llr, cfg.nof_csi_part2_bits, qm)
+            sch_llr = llr[:, jnp.asarray(plan.sch_bit_idx)]
+
+            parts = []
+            for e_val, js in groups.items():
+                assert js == list(range(js[0], js[-1] + 1)), "E groups not contiguous"
+                cb_llr = sch_llr[:, offsets[js[0]]:offsets[js[-1] + 1]]
+                cb_llr = cb_llr.reshape(b, len(js), e_val)
+                parts.append(rm.rate_dematch(cb_llr, seg.base_graph, z,
+                                             seg.nof_filler_bits_per_cb, cfg.rv,
+                                             e_val, qm))
         soft = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         if harq_buffer is not None:
             soft = rm.harq_combine(harq_buffer, soft)
@@ -425,9 +482,9 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             crc_cb = ("CRC24B" if seg.cb_crc_bits
                       else ("CRC24A" if seg.tb_crc_bits == 24 else "CRC16"))
             if cfg.use_pallas_decoder:
-                from ..ops.ldpc.decode_pallas import ldpc_decode_pallas_es
+                from ..ops.ldpc.decode_pallas import ldpc_decode_pallas_es_bm
 
-                hard, _, ok_flat, it_flat = ldpc_decode_pallas_es(
+                hard, _, ok_flat, it_flat = ldpc_decode_pallas_es_bm(
                     soft.reshape(b * c, -1), seg.base_graph, z, crc_cb, kp,
                     cfg.nof_ldpc_iterations)
             else:
@@ -457,14 +514,19 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         if seg.cb_crc_bits:
             if cb_ok is None:
                 cb_ok = crc_check_device(payload_bits, "CRC24B")
-            payload = payload_bits[:, :, : kp - seg.cb_crc_bits].reshape(b, -1)
+            payload3 = payload_bits[:, :, : kp - seg.cb_crc_bits]
         else:
             if cb_ok is None:
                 cb_ok = jnp.ones((b, c), bool)
-            payload = payload_bits.reshape(b, -1)
-        tb_and_crc = payload[:, : cfg.tbs + seg.tb_crc_bits]
+            payload3 = payload_bits
         crc_name = "CRC24A" if seg.tb_crc_bits == 24 else "CRC16"
-        tb_ok = crc_check_device(tb_and_crc, crc_name)
+        # TB CRC straight off the (B, C, Kpay) planes; the TB payload is
+        # likewise returned per-CB ("tb_bits_cb") because the device-side
+        # (B, C, Kpay) -> (B, tbs) flatten lowers to an XLA loop-ized
+        # relayout copy worth ~9% of the pipeline — `flatten_tb_bits` does
+        # it for free on fetched numpy arrays.
+        tb_ok = crc_check_device_cbs(payload3, crc_name,
+                                     cfg.tbs + seg.tb_crc_bits)
 
         snr = jnp.mean(1.0 / jnp.maximum(eq_nvar, 1e-9), axis=-1)
         snr_db = 10.0 * jnp.log10(jnp.maximum(snr, 1e-9))
@@ -480,7 +542,7 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             "tb_crc_ok": tb_ok,
             "evm": evm_val,
             "cb_crc_ok": cb_ok,
-            "tb_bits": tb_and_crc[:, : cfg.tbs],
+            "tb_bits_cb": payload3,
             "snr_db": snr_db,
             "ta_s": jnp.mean(ta, axis=0),
             "ldpc_iterations": ldpc_iters,

@@ -69,13 +69,19 @@ def mmse_weights(h_pair, noise_var_port, tx_scaling: float = 1.0):
        correction folded in — symbols = w @ y —, nvar_out (..., S, L)
        post-equalization noise variances, +inf where degenerate).
     """
-    h = to_cplx(h_pair) * tx_scaling  # (..., S, P, L)
-    nlayers = h.shape[-1]
+    nlayers = h_pair.shape[-2]
     nvar = noise_var_port[..., None, :]  # (..., 1, P)
+    # All small-L paths run in EXPLICIT real arithmetic: TPU has no native
+    # complex type, and XLA lowers complex abs to hypot, complex division to
+    # a full Smith divide, and tiny complex einsums through bf16 dot_generals
+    # — together these dominated the round-2 pipeline profile.  Real-pair
+    # elementwise math fuses into a handful of VPU passes instead.
+    hr = h_pair[..., 0] * tx_scaling  # (..., S, P, L)
+    hi = h_pair[..., 1] * tx_scaling
 
     if nlayers == 1:
-        hs = h[..., 0]  # (..., S, P)
-        ch_norm = jnp.abs(hs) ** 2
+        hr0, hi0 = hr[..., 0], hi[..., 0]  # (..., S, P)
+        ch_norm = hr0 * hr0 + hi0 * hi0
         ok = jnp.isfinite(ch_norm) & (ch_norm > 0) & jnp.isfinite(nvar) & (nvar > 0)
         ch_norm = jnp.where(ok, ch_norm, 0.0)
         c = jnp.sum(ch_norm, axis=-1)  # (..., S)
@@ -83,30 +89,52 @@ def mmse_weights(h_pair, noise_var_port, tx_scaling: float = 1.0):
         denom = c * c + nvar_acc
         good = jnp.isfinite(c) & (c > 0) & jnp.isfinite(nvar_acc) & (nvar_acc > 0)
         scale = jnp.where(good, c / jnp.where(good, denom, 1.0), 0.0)
-        w = jnp.where(ok, jnp.conj(hs), 0.0) * scale[..., None]  # (..., S, P)
+        wr = jnp.where(ok, hr0, 0.0) * scale[..., None]  # (..., S, P)
+        wi = jnp.where(ok, -hi0, 0.0) * scale[..., None]
         nvars = jnp.where(good, nvar_acc / jnp.where(good, denom, 1.0), jnp.inf)
-        return from_cplx(w[..., None, :]), nvars[..., None]
+        w_pair = jnp.stack([wr[..., None, :], wi[..., None, :]], axis=-1)
+        return w_pair, nvars[..., None]
 
+    if nlayers == 2:
+        ninv = 1.0 / jnp.maximum(nvar, 1e-38)  # (..., 1, P)
+        h0r, h0i = hr[..., 0], hi[..., 0]  # (..., S, P)
+        h1r, h1i = hr[..., 1], hi[..., 1]
+        # A = H^H N^-1 H + I (hermitian 2x2, diagonal real).
+        a00 = jnp.sum((h0r * h0r + h0i * h0i) * ninv, axis=-1) + 1.0  # (..., S)
+        a11 = jnp.sum((h1r * h1r + h1i * h1i) * ninv, axis=-1) + 1.0
+        a01r = jnp.sum((h0r * h1r + h0i * h1i) * ninv, axis=-1)
+        a01i = jnp.sum((h0r * h1i - h0i * h1r) * ninv, axis=-1)
+        det = jnp.maximum(a00 * a11 - (a01r * a01r + a01i * a01i), 1e-30)
+        # A^-1 = [[a11, -a01], [-conj(a01), a00]] / det.
+        # B = H^H N^-1: b[l, p] = conj(h_pl) * ninv_p.
+        b0r, b0i = h0r * ninv, -h0i * ninv  # (..., S, P)
+        b1r, b1i = h1r * ninv, -h1i * ninv
+        inv_det = 1.0 / det
+        a11d = (a11 * inv_det)[..., None]
+        a00d = (a00 * inv_det)[..., None]
+        a01rd = (a01r * inv_det)[..., None]
+        a01id = (a01i * inv_det)[..., None]
+        # W = A^-1 B (w[l] rows over ports).
+        w0r = a11d * b0r - (a01rd * b1r - a01id * b1i)
+        w0i = a11d * b0i - (a01rd * b1i + a01id * b1r)
+        w1r = a00d * b1r - (a01rd * b0r + a01id * b0i)
+        w1i = a00d * b1i - (a01rd * b0i - a01id * b0r)
+        # Bias d_l = [A^-1]_ll; unbias weights by 1/(1-d), noise = d/(1-d).
+        d0 = jnp.clip(a11 * inv_det, 1e-9, 1.0 - 1e-9)
+        d1 = jnp.clip(a00 * inv_det, 1e-9, 1.0 - 1e-9)
+        g0 = (1.0 / (1.0 - d0))[..., None]
+        g1 = (1.0 / (1.0 - d1))[..., None]
+        wr_out = jnp.stack([w0r * g0, w1r * g1], axis=-2)  # (..., S, L, P)
+        wi_out = jnp.stack([w0i * g0, w1i * g1], axis=-2)
+        nvars = jnp.stack([d0 / (1.0 - d0), d1 / (1.0 - d1)], axis=-1)
+        return jnp.stack([wr_out, wi_out], axis=-1), nvars
+
+    h = to_cplx(h_pair) * tx_scaling  # (..., S, P, L)
     # Whitened normal matrix A = H^H N^-1 H + I and cross term B = H^H N^-1.
     ninv = 1.0 / jnp.maximum(nvar, 1e-38)  # (..., 1, P)
     ah_n = jnp.conj(jnp.swapaxes(h, -1, -2)) * ninv[..., None, :]  # (..., S, L, P)
     a = jnp.einsum("...lp,...pk->...lk", ah_n, h) + jnp.eye(nlayers, dtype=h.dtype)
-
-    if nlayers == 2:
-        a00 = jnp.real(a[..., 0, 0])
-        a11 = jnp.real(a[..., 1, 1])
-        a01 = a[..., 0, 1]
-        det = a00 * a11 - jnp.abs(a01) ** 2
-        det = jnp.maximum(det, 1e-30)
-        inv00 = (a11 / det).astype(h.dtype)
-        inv11 = (a00 / det).astype(h.dtype)
-        inv01 = -a01 / det
-        a_inv = jnp.stack([
-            jnp.stack([inv00, inv01], axis=-1),
-            jnp.stack([jnp.conj(inv01), inv11], axis=-1),
-        ], axis=-2)
-    else:
-        a_inv = jnp.linalg.inv(a)
+    a_inv = jnp.linalg.inv(a)
 
     w = jnp.einsum("...lk,...kp->...lp", a_inv, ah_n)  # (..., S, L, P)
     # Per-layer MMSE bias d = [A^-1]_ll in (0, 1]: unbias by 1/(1-d), post-eq
@@ -134,6 +162,45 @@ def apply_weights(w_pair, y_pair):
             - jnp.einsum("...slp,...tsp->...tsl", wi, yi))
     outi = (jnp.einsum("...slp,...tsp->...tsl", wr, yi)
             + jnp.einsum("...slp,...tsp->...tsl", wi, yr))
+    return jnp.stack([outr, outi], axis=-1)
+
+
+def apply_weights_ports_first(w_pair, y_pair, rot_pair=None):
+    """`apply_weights` for REs kept in the grid's native (P, sym, subc) order.
+
+    The port contraction is unrolled into explicit real multiply-adds: P and
+    L are tiny (<= 4 / <= 2), so a dot_general would run as a pathological
+    2x4 batched matmul while the unrolled form is a single fused VPU pass
+    over the grid.
+
+    Args:
+      w_pair: (..., S, L, P, 2) from `mmse_weights`/`zf_weights`.
+      y_pair: (..., P, nsym, S, 2) received data REs, ports leading — the
+        demodulated grid's layout, so no (B, P, T, S) -> (B, T, S, P)
+        transpose has to materialize before equalization.
+      rot_pair: optional (..., nsym, 2) unit phasors r_t; outputs are
+        multiplied by conj(r_t) in the same fused pass (CFO derotation).
+
+    Returns: (..., nsym, S, L, 2) equalized symbols.
+    """
+    wr, wi = w_pair[..., 0], w_pair[..., 1]  # (..., S, L, P)
+    yr, yi = y_pair[..., 0], y_pair[..., 1]  # (..., P, T, S)
+    nports = yr.shape[-3]
+    outr = None
+    outi = None
+    for p in range(nports):
+        wrp = wr[..., p][..., None, :, :]  # (..., 1, S, L)
+        wip = wi[..., p][..., None, :, :]
+        yrp = yr[..., p, :, :][..., None]  # (..., T, S, 1)
+        yip = yi[..., p, :, :][..., None]
+        tr = wrp * yrp - wip * yip
+        ti = wrp * yip + wip * yrp
+        outr = tr if outr is None else outr + tr
+        outi = ti if outi is None else outi + ti
+    if rot_pair is not None:
+        cr = rot_pair[..., 0][..., None, None]  # (..., T, 1, 1)
+        ci = rot_pair[..., 1][..., None, None]
+        outr, outi = outr * cr + outi * ci, outi * cr - outr * ci
     return jnp.stack([outr, outi], axis=-1)
 
 

@@ -398,14 +398,17 @@ def _make_kernel_delta_es(bg: BaseGraph, z: int, max_iterations: int,
     return kernel, g, tuple(final_dom)
 
 
-def _make_kernel_delta_es16(bg: BaseGraph, z: int, max_iterations: int,
-                            scaling_factor: float, b_tile: int, crc_order: int):
-    """int16 batch-major early-stop kernel: same arithmetic as
-    `_make_kernel_delta_es` (bit-exact — all LLR quantities fit int16:
-    |soft| <= 127, |v2c| <= 127, scaled magnitudes <= 120) at twice the lane
-    density of the int32 kernel, with (b_tile, nv, z) batch-major I/O so the
-    caller needs NO whole-buffer transpose.  Sign bitmasks stay int32 (rows
-    have up to 19 edges)."""
+def _make_kernel_delta_es_bm(bg: BaseGraph, z: int, max_iterations: int,
+                             scaling_factor: float, b_tile: int,
+                             crc_order: int):
+    """Batch-major early-stop kernel: same arithmetic as
+    `_make_kernel_delta_es` (bit-exact) with (b_tile, nv, z) batch-major I/O
+    so the caller needs NO whole-buffer int8 transpose — the transpose was
+    37% of device time as "data formatting" in the round-2 op profile.
+    Internal state is int32: Mosaic's `tpu.dynamic_rotate` is unimplemented
+    for non-32-bit vectors on this toolchain, so the int16 double-density
+    variant (kept below as `_make_kernel_delta_es16`) cannot compile; the
+    layout win is what mattered."""
     g, rows = _row_edges(bg, z)
     nv, m = g.n_full, g.m
 
@@ -414,44 +417,21 @@ def _make_kernel_delta_es16(bg: BaseGraph, z: int, max_iterations: int,
         for c, s in edges:
             final_dom[c] = s
 
-    i16 = jnp.int16
-    LLR_MAX16 = np.int16(LLR_MAX)
-    LLR_INFTY16 = np.int16(LLR_INFTY)
-
-    def sat_sub(a, b):
-        plain = jnp.clip(a - b, -LLR_MAX16, LLR_MAX16)
-        out = jnp.where(jnp.abs(a) == LLR_INFTY16, a,
-                        jnp.where(jnp.abs(b) == LLR_INFTY16,
-                                  np.int16(0) - b, plain))
-        return jnp.where(a == b, np.int16(0), out)
-
-    def promotion_sum(a, b):
-        s = a + b  # |a|,|b| <= 127: no int16 overflow
-        plain = jnp.where(jnp.abs(s) > LLR_MAX16,
-                          (jnp.sign(s)).astype(i16) * LLR_INFTY16, s)
-        out = jnp.where(jnp.abs(a) == LLR_INFTY16, a,
-                        jnp.where(jnp.abs(b) == LLR_INFTY16, b, plain))
-        return jnp.where(a == np.int16(0) - b, np.int16(0), out)
-
-    def scale16(mag):
-        return jnp.floor(mag.astype(jnp.float32) * jnp.float32(scaling_factor)
-                         + 0.5).astype(i16)
-
     def kernel(llr_ref, mask_ref, out_ref, ok_ref, it_ref,
                soft, min1, min2, amin, signs, sprod, out_soft, done, itcnt):
         for c in range(nv):
             if c < 2:
-                soft[c] = jnp.zeros((b_tile, z), i16)
+                soft[c] = jnp.zeros((b_tile, z), jnp.int32)
             else:
-                x = llr_ref[:, c - 2, :].astype(i16)
+                x = llr_ref[:, c - 2, :].astype(jnp.int32)
                 soft[c] = pltpu.roll(x, (z - final_dom[c]) % z, axis=1)
-        min1[...] = jnp.zeros((m, b_tile, z), i16)
-        min2[...] = jnp.zeros((m, b_tile, z), i16)
-        amin[...] = jnp.zeros((m, b_tile, z), i16)
+        min1[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        min2[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        amin[...] = jnp.zeros((m, b_tile, z), jnp.int32)
         signs[...] = jnp.zeros((m, b_tile, z), jnp.int32)
-        sprod[...] = jnp.zeros((m, b_tile, z), i16)
-        out_soft[...] = jnp.zeros((g.kb, b_tile, z), i16)
-        done[...] = jnp.zeros((b_tile, z), i16)
+        sprod[...] = jnp.zeros((m, b_tile, z), jnp.int32)
+        out_soft[...] = jnp.zeros((g.kb, b_tile, z), jnp.int32)
+        done[...] = jnp.zeros((b_tile, z), jnp.int32)
         itcnt[...] = jnp.full((b_tile, z), max_iterations, jnp.int32)
 
         def cond(carry):
@@ -469,40 +449,38 @@ def _make_kernel_delta_es16(bg: BaseGraph, z: int, max_iterations: int,
                 old_sp = sprod[r]
 
                 v2cs = []
-                new_m1 = jnp.full((b_tile, z), LLR_MAX16, i16)
-                new_m2 = jnp.full((b_tile, z), LLR_MAX16, i16)
-                new_am = jnp.zeros((b_tile, z), i16)
-                new_sp = jnp.zeros((b_tile, z), i16)
+                new_m1 = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
+                new_m2 = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
+                new_am = jnp.zeros((b_tile, z), jnp.int32)
+                new_sp = jnp.zeros((b_tile, z), jnp.int32)
                 new_sb = jnp.zeros((b_tile, z), jnp.int32)
                 for e, (c, s) in enumerate(edges):
                     delta = (cur[c] - s) % z
                     soft_chk = pltpu.roll(soft[c], delta, axis=1) if delta else soft[c]
-                    old_sign_e = jnp.bitwise_and(old_sb >> e, 1).astype(i16)
+                    old_sign_e = jnp.bitwise_and(old_sb >> e, 1)
                     old_mag = jnp.where(old_am == e, old_m2, old_m1)
-                    c2v_old = jnp.where((old_sp ^ old_sign_e) == 1,
-                                        np.int16(0) - old_mag, old_mag)
-                    v2c = sat_sub(soft_chk, c2v_old)
+                    c2v_old = jnp.where((old_sp ^ old_sign_e) == 1, -old_mag, old_mag)
+                    v2c = _sat_sub(soft_chk, c2v_old)
                     v2cs.append(v2c)
 
                     absv = jnp.abs(v2c)
-                    sign = (v2c < 0).astype(i16)
+                    sign = (v2c < 0).astype(jnp.int32)
                     is_min = absv < new_m1
                     new_m2 = jnp.where(is_min, new_m1, jnp.minimum(new_m2, absv))
-                    new_am = jnp.where(is_min, np.int16(e), new_am)
+                    new_am = jnp.where(is_min, e, new_am)
                     new_m1 = jnp.where(is_min, absv, new_m1)
                     new_sp = new_sp ^ sign
-                    new_sb = new_sb | (sign.astype(jnp.int32) << e)
+                    new_sb = new_sb | (sign << e)
 
-                s_m1 = scale16(new_m1)
-                s_m2 = scale16(new_m2)
+                s_m1 = _scale(new_m1, scaling_factor)
+                s_m2 = _scale(new_m2, scaling_factor)
 
                 for e, (c, s) in enumerate(edges):
                     v2c = v2cs[e]
-                    sign_e = jnp.bitwise_and(new_sb >> e, 1).astype(i16)
+                    sign_e = jnp.bitwise_and(new_sb >> e, 1)
                     mag = jnp.where(new_am == e, s_m2, s_m1)
-                    c2v = jnp.where((new_sp ^ sign_e) == 1,
-                                    np.int16(0) - mag, mag)
-                    soft[c] = promotion_sum(c2v, v2c)
+                    c2v = jnp.where((new_sp ^ sign_e) == 1, -mag, mag)
+                    soft[c] = _promotion_sum(c2v, v2c)
                     cur[c] = s
 
                 min1[r] = s_m1
@@ -511,8 +489,7 @@ def _make_kernel_delta_es16(bg: BaseGraph, z: int, max_iterations: int,
                 signs[r] = new_sb
                 sprod[r] = new_sp
 
-            # Packed-int32 CRC over systematic hard decisions (as in the int32
-            # kernel).
+            # Packed-int32 CRC over the systematic hard decisions.
             acc = jnp.zeros((b_tile, z), jnp.int32)
             for c in range(g.kb):
                 hard = (soft[c] <= 0).astype(jnp.int32)
@@ -520,18 +497,18 @@ def _make_kernel_delta_es16(bg: BaseGraph, z: int, max_iterations: int,
             bad = jnp.zeros((b_tile, 1), jnp.int32)
             for j in range(crc_order):
                 bad = bad | (jnp.sum((acc >> j) & 1, axis=1, keepdims=True) % 2)
-            ok = (bad == 0).astype(i16)  # (b, 1)
+            ok = (bad == 0).astype(jnp.int32)  # (b, 1)
 
             was_done = done[:, 0:1]
-            newly = ok * (np.int16(1) - was_done)
+            newly = ok * (1 - was_done)
             for c in range(g.kb):
                 out_soft[c] = jnp.where(newly > 0, soft[c], out_soft[c])
-            itcnt[...] = jnp.where(newly.astype(jnp.int32) > 0, it + 1, itcnt[...])
+            itcnt[...] = jnp.where(newly > 0, it + 1, itcnt[...])
             done_new = jnp.where(was_done + newly > 0,
-                                 jnp.ones((b_tile, 1), i16),
-                                 jnp.zeros((b_tile, 1), i16))
+                                 jnp.ones((b_tile, 1), jnp.int32),
+                                 jnp.zeros((b_tile, 1), jnp.int32))
             done[...] = jnp.broadcast_to(done_new, (b_tile, z))
-            alldone = jnp.min(done_new.astype(jnp.int32))
+            alldone = jnp.min(done_new).astype(jnp.int32)
             return it + 1, alldone
 
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
@@ -540,7 +517,7 @@ def _make_kernel_delta_es16(bg: BaseGraph, z: int, max_iterations: int,
         for c in range(g.kb):
             final = jnp.where(dmask > 0, out_soft[c], soft[c])
             back = pltpu.roll(final, final_dom[c] % z, axis=1) if final_dom[c] % z else final
-            out_ref[:, c, :] = jnp.clip(back, -LLR_INFTY16, LLR_INFTY16).astype(jnp.int8)
+            out_ref[:, c, :] = jnp.clip(back, -LLR_INFTY, LLR_INFTY).astype(jnp.int8)
         ok_ref[...] = dmask.astype(jnp.int8)
         it_ref[...] = itcnt[...]
 
@@ -548,7 +525,7 @@ def _make_kernel_delta_es16(bg: BaseGraph, z: int, max_iterations: int,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
-def ldpc_decode_pallas_es16(
+def ldpc_decode_pallas_es_bm(
     llrs,
     bg: BaseGraph,
     z: int,
@@ -558,17 +535,28 @@ def ldpc_decode_pallas_es16(
     scaling_factor: float = 0.8,
     b_tile: int = 16,
 ):
-    """Batch-major int16 early-stop decoder (production path).
+    """Batch-major early-stop decoder (production path).
 
     Same contract as `ldpc_decode_pallas_es` — bit-exact results — but the
-    input stays (B, N) reshaped to (B, nv-2, z) with NO cross-batch transpose,
-    the kernel state is int16 (double lane density), and outputs come back
-    batch-major.
+    input stays (B, N) reshaped to (B, nv-2, z) with NO cross-batch int8
+    transpose (the round-2 profile's dominant "data formatting" cost) and
+    outputs come back batch-major.  Kernel state is int32: Mosaic's
+    dynamic_rotate is 32-bit-only on this toolchain, so the int16
+    double-density variant does not compile.
     """
     from ..crc import POLYS
 
+    if z % 128 != 0:
+        # Mosaic rejects the batch-major (b_tile, z)-into-[:, c, :] stores
+        # when z is not a whole number of 128-lane vregs ("unsupported shape
+        # cast"); small-z configs fall back to the column-major kernel, whose
+        # transposes are cheap at these sizes.
+        return ldpc_decode_pallas_es(llrs, bg, z, crc_name,
+                                     nof_crc_covered_bits, max_iterations,
+                                     scaling_factor)
+
     order, _ = POLYS[crc_name]
-    kernel, g, final_dom = _make_kernel_delta_es16(
+    kernel, g, final_dom = _make_kernel_delta_es_bm(
         bg, z, max_iterations, float(scaling_factor), b_tile, order)
     mask = _packed_crc_mask(crc_name, nof_crc_covered_bits, g.kb, z, final_dom)
     b = llrs.shape[0]
@@ -602,21 +590,29 @@ def ldpc_decode_pallas_es16(
             jax.ShapeDtypeStruct((bp, z), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g.n_full, b_tile, z), jnp.int16),
-            pltpu.VMEM((g.m, b_tile, z), jnp.int16),
-            pltpu.VMEM((g.m, b_tile, z), jnp.int16),
-            pltpu.VMEM((g.m, b_tile, z), jnp.int16),
+            pltpu.VMEM((g.n_full, b_tile, z), jnp.int32),
             pltpu.VMEM((g.m, b_tile, z), jnp.int32),
-            pltpu.VMEM((g.m, b_tile, z), jnp.int16),
-            pltpu.VMEM((g.kb, b_tile, z), jnp.int16),
-            pltpu.VMEM((b_tile, z), jnp.int16),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, z), jnp.int32),
+            pltpu.VMEM((g.kb, b_tile, z), jnp.int32),
+            pltpu.VMEM((b_tile, z), jnp.int32),
             pltpu.VMEM((b_tile, z), jnp.int32),
         ],
         interpret=interpret,
     )(x, jnp.asarray(mask))
     soft_info = out.reshape(bp, g.kb * z)[:b]
-    hard = (soft_info <= 0).astype(jnp.uint8)
+    # Arithmetic hard decision (sign bit of soft-1): identical to
+    # soft <= 0 but never creates a pred intermediate, whose 4-bit
+    # packed tiling makes downstream relayout copies loop-ized.
+    hard = (((soft_info.astype(jnp.int32) - 1) >> 7) & 1).astype(jnp.uint8)
     return hard, soft_info, ok[:b, 0].astype(bool), iters[:b, 0]
+
+
+#: Back-compat alias: the int16 variant's I/O contract lives on in the
+#: batch-major int32 kernel (see `_make_kernel_delta_es_bm` docstring).
+ldpc_decode_pallas_es16 = ldpc_decode_pallas_es_bm
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
@@ -695,7 +691,10 @@ def ldpc_decode_pallas_es(
         interpret=interpret,
     )(x, jnp.asarray(mask))
     soft_info = _transpose01_int8(out, False).reshape(bp, g.kb * z)[:b]
-    hard = (soft_info <= 0).astype(jnp.uint8)
+    # Arithmetic hard decision (sign bit of soft-1): identical to
+    # soft <= 0 but never creates a pred intermediate, whose 4-bit
+    # packed tiling makes downstream relayout copies loop-ized.
+    hard = (((soft_info.astype(jnp.int32) - 1) >> 7) & 1).astype(jnp.uint8)
     return hard, soft_info, ok[:b, 0].astype(bool), iters[:b, 0]
 
 
@@ -745,7 +744,10 @@ def ldpc_decode_pallas(
     )(x)
     # (KB, B, Z) -> (B, K)
     soft_info = jnp.transpose(out, (1, 0, 2)).reshape(bp, g.kb * z)[:b]
-    hard = (soft_info <= 0).astype(jnp.uint8)
+    # Arithmetic hard decision (sign bit of soft-1): identical to
+    # soft <= 0 but never creates a pred intermediate, whose 4-bit
+    # packed tiling makes downstream relayout copies loop-ized.
+    hard = (((soft_info.astype(jnp.int32) - 1) >> 7) & 1).astype(jnp.uint8)
     return hard, soft_info
 
 
@@ -790,5 +792,8 @@ def ldpc_decode_pallas_v3(
         interpret=interpret,
     )(x)
     soft_info = jnp.transpose(out, (1, 0, 2)).reshape(bp, g.kb * z)[:b]
-    hard = (soft_info <= 0).astype(jnp.uint8)
+    # Arithmetic hard decision (sign bit of soft-1): identical to
+    # soft <= 0 but never creates a pred intermediate, whose 4-bit
+    # packed tiling makes downstream relayout copies loop-ized.
+    hard = (((soft_info.astype(jnp.int32) - 1) >> 7) & 1).astype(jnp.uint8)
     return hard, soft_info

@@ -181,6 +181,70 @@ def rate_dematch(llrs, bg: BaseGraph, z: int, nof_filler: int, rv: int, e: int, 
     return acc.astype(jnp.int8)
 
 
+@functools.lru_cache(maxsize=None)
+def _bit_major_pieces(bg: BaseGraph, z: int, nof_filler: int, rv: int,
+                      e: int, qm: int):
+    """Slice pieces of the bit-major (qm, e//qm) demap layout, in circular
+    buffer order: [(dst, row, col0, col1)] plus (gap_vals, n).
+
+    The deinterleaved (e-order) stream is exactly the row-major flattening of
+    the bit-major array, so every contiguous e-run splits into at most a few
+    per-row contiguous column slices — the Section 5.4.2.2 deinterleave
+    disappears into slicing (no int8 transpose).
+    Returns None when repetition/wrap forces the gather path.
+    """
+    plan = rate_dematch_slice_plan(bg, z, nof_filler, rv, e, qm)
+    if plan is None:
+        return None
+    runs, gap_vals, n = plan
+    width = e // qm
+    pieces = []
+    for dst, src, ln in runs:
+        pos = src
+        while pos < src + ln:
+            row, col = divmod(pos, width)
+            take = min(src + ln - pos, width - col)
+            pieces.append((dst + (pos - src), row, col, col + take))
+            pos += take
+    return pieces, gap_vals, n
+
+
+def rate_dematch_bit_major(x4, bg: BaseGraph, z: int, nof_filler: int,
+                           rv: int, e: int, qm: int):
+    """Rx rate recovery from bit-major demapped LLRs.
+
+    Args:
+      x4: (B, qm, C, e//qm) int8 LLRs — `soft_demap(..., bit_major=True)`
+        output sliced to one equal-E codeblock group and reshaped; the
+        deinterleave is implicit in this layout.
+
+    Returns (B, C, N) int8 circular-buffer LLRs, identical to `rate_dematch`
+    on the equivalent interleaved input.
+    """
+    plan = _bit_major_pieces(bg, z, nof_filler, rv, e, qm)
+    b, _, c, width = x4.shape
+    if plan is None:
+        # Repetition/wrap: rebuild the interleaved stream and take the
+        # gather path (rare low-rate configs).
+        x = jnp.transpose(x4, (0, 2, 3, 1)).reshape(b, c, e)
+        return rate_dematch(x, bg, z, nof_filler, rv, e, qm)
+    pieces, gap_vals, n = plan
+    xc = jnp.clip(x4, -LLR_MAX, LLR_MAX)
+    lead = (b, c)
+    parts = []
+    pos = 0
+    for dst, row, col0, col1 in pieces:
+        if dst > pos:
+            parts.append(jnp.broadcast_to(
+                jnp.asarray(gap_vals[pos:dst]), lead + (dst - pos,)))
+        parts.append(xc[:, row, :, col0:col1])
+        pos = dst + (col1 - col0)
+    if pos < n:
+        parts.append(jnp.broadcast_to(
+            jnp.asarray(gap_vals[pos:n]), lead + (n - pos,)))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def harq_combine(buffer, new_llrs):
     """Soft-combine a dematched transmission into the HARQ buffer (promotion sum).
 

@@ -23,7 +23,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..fapi.pdus import UlTtiRequest, CrcIndication, RxDataIndication
-from ..models.pusch_rx import PuschRxConfig, cached_pusch_rx_from_grid
+from ..models.pusch_rx import (
+    PuschRxConfig, cached_pusch_rx_from_grid, flatten_tb_bits)
 from ..ops import ofdm as ofdm_mod
 from ..ops import prg as prg_mod
 from ..ops.dmrs import dmrs_type1_sequence
@@ -147,7 +148,7 @@ class MultiCellUpperPhy:
         rx = cached_pusch_rx_from_grid(rx_cfg)
         res = rx(sub, None, ref_in, signs_in)
         ok = to_host(res["tb_crc_ok"])
-        bits = to_host(res["tb_bits"])
+        bits = flatten_tb_bits(to_host(res["tb_bits_cb"]), rx_cfg.tbs)
         for c, pdu in enumerate(pdus):
             out[c].append(CrcIndication(slot=slot, rnti=pdu.rnti,
                                         harq_id=pdu.harq_id,

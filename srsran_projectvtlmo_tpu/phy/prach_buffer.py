@@ -52,6 +52,13 @@ class PrachBuffer:
         samples = np.asarray(samples, np.float32)
         if samples.ndim == 2:
             samples = samples[None]
+        expect = (self.fmt.nof_ports, self.fmt.sequence_length, 2)
+        if samples.shape != expect:
+            # Broadcasting (L, 2) / (1, L, 2) onto a multi-port buffer would
+            # silently duplicate one port's data across all ports and inflate
+            # the detector's non-coherent combining metric.
+            raise ValueError(
+                f"PRACH symbol samples shape {samples.shape} != {expect}")
         self._data[fd_occasion, symbol] = samples
         self._filled[fd_occasion, symbol] = True
 

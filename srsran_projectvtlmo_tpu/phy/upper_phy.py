@@ -26,7 +26,8 @@ from ..fapi.pdus import (
     DlTtiRequest, UlTtiRequest, TxDataRequest,
     CrcIndication, RxDataIndication, UciIndication, RachIndication,
 )
-from ..models.pusch_rx import PuschRxConfig, cached_pusch_rx_from_grid
+from ..models.pusch_rx import (
+    PuschRxConfig, cached_pusch_rx_from_grid, flatten_tb_bits)
 from ..ops import ofdm as ofdm_mod
 from ..ops import prach as prach_mod
 from ..ops.dmrs import dmrs_type1_sequence
@@ -71,6 +72,11 @@ class UpperPhy:
     def __init__(self, cfg: CellConfig):
         self.cfg = cfg
         self.harq_pool = RxBufferPool()
+        #: PRACH occasions skipped because their capture buffer was not fully
+        #: filled (late/lost symbols): detecting on zero-padded symbols would
+        #: dilute the correlation peak against thresholds calibrated for full
+        #: S-symbol combining and silently miss real preambles.
+        self.nof_dropped_prach_occasions = 0
 
     # ------------------------------------------------------------------ DL --
 
@@ -167,14 +173,18 @@ class UpperPhy:
     # ------------------------------------------------------------------ UL --
 
     def process_ul_slot(self, request: UlTtiRequest, samples: np.ndarray,
-                        prach_samples: np.ndarray | None = None,
+                        prach_samples: "np.ndarray | PrachBuffer | None" = None,
                         validate: bool = True):
         """Process one UL slot.
 
         Args:
           request: the slot's UL PDUs.
           samples: (nof_rx_ports, nsamples, 2) received baseband.
-          prach_samples: optional (L, 2) frequency-domain PRACH occasion.
+          prach_samples: optional frequency-domain PRACH occasion — either an
+            (L, 2) single-port array, or a `phy.prach_buffer.PrachBuffer`
+            filled by the lower-PHY occasion collector; with a buffer, each
+            PRACH PDU selects its occasion via its `fd_occasion` attribute
+            (default 0) and all ports are combined non-coherently.
 
         Returns a list of indication objects.
         """
@@ -215,6 +225,17 @@ class UpperPhy:
                     ncs_table="1.25kHz" if pdu.format_is_long else "short",
                 )
                 if isinstance(prach_samples, PrachBuffer):
+                    if not prach_samples.full:
+                        # Partially-captured occasion: skip detection rather
+                        # than combine all-zero symbols (see
+                        # nof_dropped_prach_occasions).
+                        self.nof_dropped_prach_occasions += 1
+                        import logging
+
+                        logging.getLogger("upper_phy").warning(
+                            "PRACH occasion at slot %d dropped: capture "
+                            "buffer not fully filled", slot)
+                        continue
                     # (S, P, L, 2) occasion -> (1, P, S, L, 2) detector input
                     # with multi-port non-coherent combining.
                     occ = np.transpose(
@@ -261,7 +282,7 @@ class UpperPhy:
             CrcIndication(slot=slot, rnti=pdu.rnti, harq_id=pdu.harq_id, tb_crc_ok=ok),
             RxDataIndication(
                 slot=slot, rnti=pdu.rnti, harq_id=pdu.harq_id,
-                tb_bits=to_host(out["tb_bits"])[0] if ok else None,
+                tb_bits=flatten_tb_bits(to_host(out["tb_bits_cb"]), rx_cfg.tbs)[0] if ok else None,
             ),
         ]
 

@@ -92,24 +92,39 @@ def _check_order(new_lock: str) -> None:
 
 
 class TrackedLock:
-    """``threading.Lock`` with lock-order instrumentation (context manager)."""
+    """``threading.Lock`` with lock-order instrumentation (context manager).
+
+    Distinct instances sharing a role name are disambiguated with the
+    instance id so two pools' locks never alias in the order graph; the
+    bookkeeping runs only while the sanitizer is enabled (true zero overhead
+    when disabled), and a release from a thread that did not acquire is
+    reported rather than silently corrupting that thread's held list.
+    """
 
     def __init__(self, name: str):
-        self.name = name
+        self.name = f"{name}@{id(self):#x}"
         self._lock = threading.Lock()
+        self._owner: int | None = None
 
     def acquire(self, blocking: bool = True, timeout: float = -1) -> bool:
         if _enabled:
             _check_order(self.name)
         got = self._lock.acquire(blocking, timeout)
         if got:
-            _held().append(self.name)
+            self._owner = threading.get_ident()
+            if _enabled:
+                _held().append(self.name)
         return got
 
     def release(self) -> None:
-        held = _held()
-        if self.name in held:
-            held.remove(self.name)
+        if _enabled:
+            if self._owner is not None and self._owner != threading.get_ident():
+                _report(f"cross-thread release: '{self.name}' released by a "
+                        f"thread that did not acquire it")
+            held = _held()
+            if self.name in held:
+                held.remove(self.name)
+        self._owner = None
         self._lock.release()
 
     def __enter__(self):

@@ -39,8 +39,8 @@ def test_bf16_grid_decodes_with_bounded_evm_penalty():
     ok32 = np.asarray(out32["tb_crc_ok"])
     ok16 = np.asarray(out16["tb_crc_ok"])
     assert ok32.all() and ok16.all()
-    np.testing.assert_array_equal(np.asarray(out16["tb_bits"]),
-                                  np.asarray(out32["tb_bits"]))
+    np.testing.assert_array_equal(np.asarray(out16["tb_bits_cb"]),
+                                  np.asarray(out32["tb_bits_cb"]))
     evm32 = np.asarray(out32["evm"])
     evm16 = np.asarray(out16["evm"])
     # bf16 quantization adds at most ~0.4% absolute EVM at QAM64 scale

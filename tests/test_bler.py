@@ -9,6 +9,8 @@ pxsch_bler_test.cpp:332-458: TDL channels, 1/2/4 ports, MCS sweep).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from srsran_projectvtlmo_tpu.models import (

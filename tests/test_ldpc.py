@@ -78,6 +78,7 @@ class TestDecoder:
                                       err_msg=f"soft mismatch bg={bg} z={z}")
         np.testing.assert_array_equal(np.asarray(hard)[0], g_hard)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("bg,z", [(BaseGraph.BG1, 13), (BaseGraph.BG2, 16)])
     @pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
     def test_pallas_matches_xla(self, bg, z, variant):

@@ -9,7 +9,7 @@ from srsran_projectvtlmo_tpu.parallel import cell_mesh, shard_leading
 from srsran_projectvtlmo_tpu.parallel.multi_cell import (
     build_multi_cell_pusch_rx, build_multi_cell_ulsch_tx,
 )
-from srsran_projectvtlmo_tpu.models.pusch_rx import PuschRxConfig
+from srsran_projectvtlmo_tpu.models.pusch_rx import PuschRxConfig, flatten_tb_bits
 from srsran_projectvtlmo_tpu.ran.modulation import Modulation
 
 
@@ -30,7 +30,7 @@ def test_eight_cell_sharded_loopback():
         ok = np.asarray(jax.block_until_ready(out["tb_crc_ok"]))
     assert ok.shape == (8,)
     assert ok.all()
-    got = np.asarray(out["tb_bits"])
+    got = flatten_tb_bits(np.asarray(out["tb_bits_cb"]), cfg.tbs)
     np.testing.assert_array_equal(got, tb)
 
 

@@ -11,6 +11,7 @@ import pytest
 
 import jax.numpy as jnp
 
+from srsran_projectvtlmo_tpu.models.pusch_rx import flatten_tb_bits
 from srsran_projectvtlmo_tpu.models import (
     PuschRxConfig, build_pusch_rx_slot, build_ulsch_tx_slot, ChannelEmulator,
 )
@@ -52,7 +53,7 @@ class TestPuschChain:
     def test_awgn_loopback_decodes(self):
         tb, out = run_loopback(CFG_SMALL, "AWGN", sinr_db=20.0)
         assert np.asarray(out["tb_crc_ok"]).all(), "TB CRC failed on clean channel"
-        np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+        np.testing.assert_array_equal(flatten_tb_bits(np.asarray(out["tb_bits_cb"]), tb.shape[-1]), tb)
         snr = np.asarray(out["snr_db"])
         assert (snr > 10).all(), f"post-eq SNR too low: {snr}"
 
@@ -61,7 +62,7 @@ class TestPuschChain:
                             nof_rx_ports=2, dft_size=256, numerology=1)
         tb, out = run_loopback(cfg, "AWGN", sinr_db=22.0, seed=3)
         assert np.asarray(out["tb_crc_ok"]).all()
-        np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+        np.testing.assert_array_equal(flatten_tb_bits(np.asarray(out["tb_bits_cb"]), tb.shape[-1]), tb)
 
     def test_tdla_fading_decodes_at_high_snr(self):
         cfg = PuschRxConfig(nof_rb=24, modulation=Modulation.QPSK, target_code_rate=0.33,
@@ -122,7 +123,7 @@ class TestUciOnPusch:
         noisy = np.asarray(samples) + 0.002 * rng.normal(size=np.asarray(samples).shape).astype(np.float32)
         out = rx(jnp.asarray(noisy)[:, None])
         assert np.asarray(out["tb_crc_ok"]).all(), "SCH failed with ACK puncturing"
-        np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+        np.testing.assert_array_equal(flatten_tb_bits(np.asarray(out["tb_bits_cb"]), tb.shape[-1]), tb)
         np.testing.assert_array_equal(np.asarray(out["harq_ack_bits"]), ack)
 
 
@@ -160,7 +161,7 @@ class TestCfoCompensation:
         # 700 Hz stays under the {2,11}-DM-RS ambiguity limit 1/(2*dt)~1.5kHz.
         tb, out = self._run(cfo_hz=700.0, compensate=True)
         assert np.asarray(out["tb_crc_ok"]).all()
-        assert (np.asarray(out["tb_bits"]) == tb).all()
+        assert (flatten_tb_bits(np.asarray(out["tb_bits_cb"]), tb.shape[-1]) == tb).all()
 
     def test_cfo_free_unaffected(self):
         tb, out = self._run(cfo_hz=0.0, compensate=True)
@@ -202,7 +203,7 @@ class TestFrequencyHopping:
         cfg = self._hop_cfg()
         tb, out = self._run(cfg)
         assert np.asarray(out["tb_crc_ok"]).all()
-        np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+        np.testing.assert_array_equal(flatten_tb_bits(np.asarray(out["tb_bits_cb"]), tb.shape[-1]), tb)
 
     def test_single_hop_estimator_degrades_on_hop_channel(self):
         """The same per-hop channel through a non-hopping config (averaged

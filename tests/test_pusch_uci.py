@@ -5,6 +5,7 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
+from srsran_projectvtlmo_tpu.models.pusch_rx import flatten_tb_bits
 from srsran_projectvtlmo_tpu.models.pusch_rx import (
     PuschRxConfig, build_pusch_rx_slot,
 )
@@ -102,7 +103,7 @@ def _loopback(cfg, seed=0, noise=0.002, csi2_size=None, **payloads):
         size=np.asarray(samples).shape).astype(np.float32)
     out = rx(jnp.asarray(noisy)[:, None])
     assert np.asarray(out["tb_crc_ok"]).all(), "SCH decode failed"
-    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+    np.testing.assert_array_equal(flatten_tb_bits(np.asarray(out["tb_bits_cb"]), tb.shape[-1]), tb)
     return out
 
 
@@ -160,4 +161,5 @@ def test_csi_part1_part2_two_phase():
     np.testing.assert_array_equal(np.asarray(out["csi2_bits"]), csi2)
     assert bool(np.asarray(out["csi2_valid"])[0])
     assert bool(np.asarray(out["tb_crc_ok"])[0]), "SCH failed with CSI multiplexed"
+    # PuschUciProcessor's two-phase path returns the flat TB directly.
     np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)

@@ -5,6 +5,7 @@ import pytest
 
 import jax.numpy as jnp
 
+from srsran_projectvtlmo_tpu.models.pusch_rx import flatten_tb_bits
 from srsran_projectvtlmo_tpu.fapi.pdus import (
     DlTtiRequest, UlTtiRequest, TxDataRequest, SsbPdu, PdcchPdu, PdschPdu,
     PuschPdu, PucchPdu, PrachPdu, UciIndication, CrcIndication, RxDataIndication,
@@ -60,7 +61,8 @@ class TestDlSlot:
         pair = np_to_pair(sub)[None, None]
         out = cached_pusch_rx_from_grid(rx_cfg)(jnp.asarray(pair))
         assert bool(np.asarray(out["tb_crc_ok"])[0])
-        np.testing.assert_array_equal(np.asarray(out["tb_bits"])[0], tb)
+        np.testing.assert_array_equal(
+            flatten_tb_bits(np.asarray(out["tb_bits_cb"]), rx_cfg.tbs)[0], tb)
 
     def test_dmrs_sequence_offset_matches(self):
         """PDSCH DM-RS with prb_start offset must match what a prb-offset
