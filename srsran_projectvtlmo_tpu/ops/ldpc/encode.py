@@ -73,19 +73,23 @@ def _encode_jit(info_bits, bg: BaseGraph, z: int):
     b = info_bits.shape[0]
     info = info_bits.reshape(b, kb, z)
 
-    # Gather info blocks per edge and rotate: (B, E, Z).
-    gathered = info[:, jnp.asarray(cols)]
-    rotated = jnp.take_along_axis(
-        gathered, jnp.broadcast_to(jnp.asarray(rot_idx)[None], gathered.shape), axis=-1
-    )
-    # XOR-reduce per check row via exact integer matmul: (B, Z, E) @ (E, M) -> parity count.
-    counts = jnp.einsum(
-        "bez,em->bmz",
-        rotated.astype(jnp.float32),
-        jnp.asarray(row_onehot),
-        preferred_element_type=jnp.float32,
-    )
-    lam = jnp.mod(counts.astype(jnp.int32), 2).astype(jnp.uint8)  # (B, M, Z)
+    # lambda_r = XOR over the row's info edges of statically-rolled blocks.
+    # Every shift is a trace-time constant, so each term is a cheap
+    # slice-pair roll and the whole pass is one elementwise XOR fusion — the
+    # previous take_along_axis formulation materialized a (B, E, Z) general
+    # gather that dominated the DL slot program's device time.
+    shifts = g.shifts
+    lam_list = []
+    for r in range(m):
+        acc = None
+        for c in range(kb):
+            s = int(shifts[r, c])
+            if s >= 0:
+                t = _rot(info[:, c], s, z)
+                acc = t if acc is None else acc ^ t
+        lam_list.append(acc if acc is not None
+                        else jnp.zeros((b, z), jnp.uint8))
+    lam = jnp.stack(lam_list, axis=1)  # (B, M, Z)
 
     # Core parity solve.
     plan = g.encode_plan

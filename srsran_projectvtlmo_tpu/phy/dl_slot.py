@@ -20,6 +20,7 @@ layers {0,1} to CDM group 0 (even subcarriers, fd-OCC +/+ and +/-) and layers
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 
@@ -29,7 +30,7 @@ import numpy as np
 
 from ..fapi.pdus import DlTtiRequest, PdschPdu, PdcchPdu
 from ..models.pdsch_tx import PdschTxConfig
-from ..models.sch_tx import build_sch_symbols_tx
+from ..models.sch_tx import build_sch_symbols_tx_dyn, sch_rate_match_indices
 from ..ops import ofdm as ofdm_mod
 from ..ops.precoding import layer_map, precode, identity_precoder
 from ..ran.pdcch_mapping import (
@@ -81,9 +82,28 @@ def _pdcch_plan(pdu: PdcchPdu, cell):
 _OCC = {0: (1.0, 1.0), 1: (1.0, -1.0), 2: (1.0, 1.0), 3: (1.0, -1.0)}
 
 
+def _shape_pdsch(pdu: PdschPdu) -> PdschPdu:
+    """Strip value-only fields so the compile key covers shape alone.
+
+    rnti/n_id (scrambling sequence), rv (rate-match indices) and the
+    precoding weights ride as device inputs — a steady-state cell with a
+    CHANGING UE set compiles exactly one DL program per slot structure
+    (reference analog: per-slot PDU churn is the normal case,
+    lib/fapi_adaptor/phy/fapi_to_phy_translator.cpp:290-351)."""
+    return dataclasses.replace(pdu, rnti=0, n_id=0, rv=0, precoding=None)
+
+
+def _shape_pdcch(pdu: PdcchPdu) -> PdcchPdu:
+    """PDCCH value-only fields (scrambling/CRC-mask identities) stripped; the
+    candidate's CCE/REG geometry stays."""
+    return dataclasses.replace(pdu, rnti=0, n_id=0, n_rnti=0)
+
+
 @dataclass(frozen=True)
 class DlSlotPlanKey:
-    """The compile-cache key: everything shape/index-determining, NOT the slot."""
+    """The compile-cache key: everything shape/index-determining, NOT the slot
+    and not per-UE values (PDU tuples are `_shape_pdsch`/`_shape_pdcch`
+    normalized)."""
     cell_nof_rb: int
     cell_dft_size: int
     numerology: int
@@ -105,6 +125,9 @@ class DlSlotProgram:
       pdcch_dmrs:  tuple of (n_dmrs, 2) float32
       ssb_grids:   tuple of (4, 240, 2) float32 assembled SSB blocks
       csi_vals:    tuple of (nof_rb, 2) float32
+      pdsch_scr:   tuple of (G_i,) uint8 scrambling sequences (rnti/n_id)
+      pdsch_rm:    tuple of per-PDU tuples of (E,) int32 rate-match gathers (rv)
+      pdsch_w:     tuple of (P, L, 2) float32 precoding matrices
     """
 
     def __init__(self, key: "DlSlotPlanKey", cell):
@@ -123,8 +146,7 @@ class DlSlotProgram:
 
         # --- PDSCH ----------------------------------------------------------
         self.pdsch_cfgs = [_pdsch_cfg(pdu, cell) for pdu in key.pdsch]
-        self.pdsch_w = [jnp.asarray(_precoding_matrix(pdu, p)) for pdu in key.pdsch]
-        self.pdsch_tx = [build_sch_symbols_tx(cfg) for cfg in self.pdsch_cfgs]
+        self.pdsch_tx = [build_sch_symbols_tx_dyn(cfg) for cfg in self.pdsch_cfgs]
         for pdu, cfg in zip(key.pdsch, self.pdsch_cfgs):
             nsub = cfg.nof_subc
             k0 = pdu.rb_start * 12
@@ -184,11 +206,11 @@ class DlSlotProgram:
         self.src_idx = jnp.asarray(src_idx.reshape(-1))
         self._compiled = jax.jit(self._assemble, static_argnums=(0,))
 
-    def _dmrs_port_pilots(self, i: int, pil):
+    def _dmrs_port_pilots(self, i: int, pil, w_pair):
         """Base pilots (ndmrs, npil, 2) -> per-port comb values
         (P, ndmrs, 2, npil, 2): precoded CDM-group pilots for both combs."""
         cfg = self.pdsch_cfgs[i]
-        w = to_cplx(self.pdsch_w[i])  # (P, L)
+        w = to_cplx(w_pair)  # (P, L)
         pil_c = to_cplx(pil)  # (ndm, npil)
         nl = cfg.nof_layers
         npil = pil_c.shape[-1]
@@ -203,17 +225,20 @@ class DlSlotProgram:
         return from_cplx(out)  # (P, ndm, 2, npil, 2)
 
     def _assemble(self, slot_in_sf: int, tb_bits, pdsch_dmrs, pdcch_syms,
-                  pdcch_dmrs, ssb_grids, csi_vals):
+                  pdcch_dmrs, ssb_grids, csi_vals, pdsch_scr, pdsch_rm,
+                  pdsch_w):
         p = self.key.nof_tx_ports
         parts = [jnp.zeros((1, 2), jnp.float32)]
-        for i, (cfg, w) in enumerate(zip(self.pdsch_cfgs, self.pdsch_w)):
-            syms = self.pdsch_tx[i](tb_bits[i][None])[0]  # (G,) complex
+        for i, cfg in enumerate(self.pdsch_cfgs):
+            w = pdsch_w[i]
+            syms = self.pdsch_tx[i](tb_bits[i][None], pdsch_scr[i],
+                                    pdsch_rm[i])[0]  # (G,) complex
             sym_pair = jnp.stack([jnp.real(syms), jnp.imag(syms)], -1)
             layers = layer_map(jnp.moveaxis(sym_pair, -1, 0), cfg.nof_layers)
             layers = jnp.moveaxis(layers, 0, -1)  # (L, M, 2)
             ports = precode(layers, w)  # (P, M, 2)
             parts.append(ports.reshape(-1, 2))
-            parts.append(self._dmrs_port_pilots(i, pdsch_dmrs[i]).reshape(-1, 2))
+            parts.append(self._dmrs_port_pilots(i, pdsch_dmrs[i], w).reshape(-1, 2))
         for i in range(len(self.key.pdcch)):
             parts.append(pdcch_syms[i])
             parts.append(pdcch_dmrs[i])
@@ -229,11 +254,38 @@ class DlSlotProgram:
         return grid, samples
 
     def run(self, slot: int, tb_bits=(), pdsch_dmrs=(), pdcch_syms=(),
-            pdcch_dmrs=(), ssb_grids=(), csi_vals=()):
+            pdcch_dmrs=(), ssb_grids=(), csi_vals=(), pdsch_pdus=()):
+        """Execute the compiled slot program.
+
+        `pdsch_pdus` are the ORIGINAL (un-normalized) PDSCH PDUs carrying the
+        per-UE values (rnti/n_id/rv/precoding); when omitted, the key's
+        normalized PDUs are used (rnti=0, rv=0, identity precoding)."""
         slot_in_sf = slot % (1 << self.cell.numerology)
+        pdus = tuple(pdsch_pdus) if pdsch_pdus else self.key.pdsch
+        p = self.key.nof_tx_ports
+        scr, rm_idx, ws = [], [], []
+        for pdu, cfg in zip(pdus, self.pdsch_cfgs):
+            vcfg = dataclasses.replace(cfg, rnti=pdu.rnti, n_id=pdu.n_id)
+            scr.append(_scramble_bits(vcfg.scrambling_cinit(),
+                                      cfg.nof_codeword_bits))
+            rm_idx.append(_rm_indices(cfg, pdu.rv))
+            ws.append(jnp.asarray(_precoding_matrix(pdu, p)))
         return self._compiled(slot_in_sf, tuple(tb_bits), tuple(pdsch_dmrs),
                               tuple(pdcch_syms), tuple(pdcch_dmrs),
-                              tuple(ssb_grids), tuple(csi_vals))
+                              tuple(ssb_grids), tuple(csi_vals),
+                              tuple(scr), tuple(rm_idx), tuple(ws))
+
+
+@functools.lru_cache(maxsize=512)
+def _scramble_bits(cinit: int, g: int):
+    from ..ops import prg as prg_mod
+
+    return jnp.asarray(prg_mod.gold_sequence_bits(cinit, g))
+
+
+@functools.lru_cache(maxsize=256)
+def _rm_indices(cfg, rv: int):
+    return sch_rate_match_indices(cfg, rv)
 
 
 @functools.lru_cache(maxsize=64)
@@ -247,8 +299,8 @@ def plan_key_for(request: DlTtiRequest, cell) -> DlSlotPlanKey:
         cell_dft_size=cell.dft_size,
         numerology=cell.numerology,
         nof_tx_ports=cell.nof_tx_ports,
-        pdsch=tuple(request.pdsch),
-        pdcch=tuple(request.pdcch),
+        pdsch=tuple(_shape_pdsch(p) for p in request.pdsch),
+        pdcch=tuple(_shape_pdcch(p) for p in request.pdcch),
         nof_ssb=len(request.ssb),
         csi_rs_shapes=tuple(
             (c.nof_rb, c.prb_start, c.symbol, c.subcarrier_offset)

@@ -156,7 +156,8 @@ class UpperPhy:
             csi_vals.append(jnp.asarray(np_to_pair(seq)))
 
         grid_pair, samples = program.run(
-            slot, tb_bits, pdsch_dmrs, pdcch_syms, pdcch_dmrs, ssb_grids, csi_vals)
+            slot, tb_bits, pdsch_dmrs, pdcch_syms, pdcch_dmrs, ssb_grids,
+            csi_vals, pdsch_pdus=tuple(request.pdsch))
         out_grid = pair_to_np(to_host(grid_pair))
         if cfg.nof_tx_ports == 1:
             out_grid = out_grid[0]

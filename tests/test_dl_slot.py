@@ -38,9 +38,14 @@ class TestPrecodedPdsch:
         assert grid.shape == (4, 14, CELL4.nof_subc)
 
         # Oracle: layer symbols from the sch chain, precoded per RE in numpy.
+        # program.pdsch_cfgs are shape-normalized (rnti/n_id/rv are runtime
+        # values); restore the PDU's values for the oracle chain.
+        import dataclasses
         from srsran_projectvtlmo_tpu.models.sch_tx import build_sch_symbols_tx
         from srsran_projectvtlmo_tpu.ops.dmrs import dmrs_type1_sequence
-        syms = np.asarray(build_sch_symbols_tx(cfg)(jnp.asarray(tb[None])))[0]
+        cfg_val = dataclasses.replace(cfg, rnti=pdu.rnti, n_id=pdu.n_id,
+                                      rv=pdu.rv)
+        syms = np.asarray(build_sch_symbols_tx(cfg_val)(jnp.asarray(tb[None])))[0]
         layers = syms.reshape(-1, 2).T  # (L, M)
         ports = w @ layers  # (P, M)
         k0 = pdu.rb_start * 12
@@ -178,3 +183,79 @@ class TestSrsEndToEnd:
         est = ind.channel.mean(axis=-1)
         np.testing.assert_allclose(est, h, atol=0.05)
         assert abs(ind.time_alignment_s) < 2e-7
+
+
+class TestDlDynamicValues:
+    """Per-UE values (rnti/n_id/rv/precoding) are runtime inputs: a changing
+    UE set never recompiles the DL slot program (VERDICT r2 item 3;
+    reference analog: per-slot PDU churn is the normal case,
+    lib/fapi_adaptor/phy/fapi_to_phy_translator.cpp:290-351)."""
+
+    def _pdu(self, rnti, rv=0, prec=None):
+        return PdschPdu(rnti=rnti, rb_start=0, rb_size=8,
+                        modulation=Modulation.QPSK, target_code_rate=0.4,
+                        nof_layers=1, start_symbol=1, nof_symbols=12,
+                        dmrs_symbols=(3,), n_id=3, rv=rv, precoding=prec)
+
+    def test_changing_ue_set_compiles_once(self):
+        from srsran_projectvtlmo_tpu.phy.dl_slot import get_dl_slot_program
+
+        cell = CellConfig(nof_rb=24, dft_size=512, numerology=1,
+                          nof_tx_ports=1, nof_rx_ports=1)
+        phy = UpperPhy(cell)
+        rng = np.random.default_rng(1)
+
+        programs = set()
+        grids = []
+        for slot, (rnti, rv) in enumerate([(0x10, 0), (0x22, 0), (0x10, 2),
+                                           (0x31, 0), (0x44, 3)]):
+            pdu = self._pdu(rnti, rv)
+            req = DlTtiRequest(slot=0, pdsch=(pdu,))
+            program = get_dl_slot_program(req, cell)
+            programs.add(id(program))
+            cfg = program.pdsch_cfgs[0]
+            tb = rng.integers(0, 2, cfg.tbs).astype(np.uint8)
+            grid, _ = phy.process_dl_slot(req, TxDataRequest(slot=0, tb_bits=[tb]))
+            grids.append(grid)
+        # ONE program object for all five UE/rv combinations, and the jit
+        # cache underneath compiled exactly once.
+        assert len(programs) == 1
+        program = get_dl_slot_program(
+            DlTtiRequest(slot=0, pdsch=(self._pdu(0x99, 1),)), cell)
+        assert program._compiled._cache_size() == 1
+        # Different rnti/rv genuinely change the transmitted grid.
+        assert not np.allclose(grids[0], grids[1])
+        assert not np.allclose(grids[0], grids[2])
+
+    def test_rv_values_decode_against_oracle(self):
+        """rv as a runtime input is not just cached - it selects the right
+        circular-buffer window (grid equals the static-rv oracle chain)."""
+        import dataclasses
+        from srsran_projectvtlmo_tpu.phy.dl_slot import get_dl_slot_program
+        from srsran_projectvtlmo_tpu.models.sch_tx import build_sch_symbols_tx
+
+        cell = CellConfig(nof_rb=24, dft_size=512, numerology=1,
+                          nof_tx_ports=1, nof_rx_ports=1)
+        phy = UpperPhy(cell)
+        rng = np.random.default_rng(2)
+        for rv in (0, 2):
+            pdu = self._pdu(0x77, rv)
+            req = DlTtiRequest(slot=0, pdsch=(pdu,))
+            program = get_dl_slot_program(req, cell)
+            cfg = program.pdsch_cfgs[0]
+            tb = rng.integers(0, 2, cfg.tbs).astype(np.uint8)
+            grid, _ = phy.process_dl_slot(req, TxDataRequest(slot=0, tb_bits=[tb]))
+            cfg_val = dataclasses.replace(cfg, rnti=pdu.rnti, n_id=pdu.n_id,
+                                          rv=rv)
+            syms = np.asarray(build_sch_symbols_tx(cfg_val)(
+                jnp.asarray(tb[None])))[0]
+            k0 = pdu.rb_start * 12
+            m = 0
+            for s in range(pdu.nof_symbols):
+                sym = pdu.start_symbol + s
+                if sym in pdu.dmrs_symbols:
+                    continue
+                np.testing.assert_allclose(
+                    grid[sym, k0:k0 + cfg.nof_subc],
+                    syms[m:m + cfg.nof_subc], atol=2e-5)
+                m += cfg.nof_subc
