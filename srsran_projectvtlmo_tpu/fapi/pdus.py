@@ -29,6 +29,8 @@ class SsbPdu:
     ssb_offset_pointa: int = 0
     l_max: int = 8
     mib_payload: tuple[int, ...] = tuple([0] * 24)
+    #: Single-layer precoding vector over the cell's TX ports; None = port 0.
+    precoding: tuple[tuple[float, float], ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -54,6 +56,10 @@ class PdcchPdu:
     reg_bundle_size: int = 6
     interleaver_size: int = 2
     shift_index: int = 0
+    #: Single-layer precoding vector over the cell's TX ports ((re, im) per
+    #: port); None = port 0 only (reference: resource_grid_mapper applies
+    #: precoding to every channel, resource_grid_mapper_impl.cpp).
+    precoding: tuple[tuple[float, float], ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -77,14 +83,22 @@ class PdschPdu:
 
 @dataclass(frozen=True)
 class CsiRsPdu:
-    """NZP-CSI-RS (row-2 density-1) PDU (reference:
-    lib/fapi_adaptor/phy/fapi_to_phy_translator.cpp:336-351 process_csi)."""
+    """NZP-CSI-RS PDU, full mapping-table row set 1-12 (reference:
+    lib/fapi_adaptor/phy/fapi_to_phy_translator.cpp:336-351 process_csi,
+    lib/ran/csi_rs/csi_rs_pattern.cpp)."""
 
     nof_rb: int
     prb_start: int = 0
     symbol: int = 4
     subcarrier_offset: int = 0
     scrambling_id: int = 0
+    #: TS 38.211 Table 7.4.1.5.3-1 row (1..12); ports/CDM derive from it.
+    row: int = 2
+    #: Frequency allocation references k_0..k_n (count depends on the row);
+    #: empty = repeat subcarrier_offset.
+    k_ref: tuple[int, ...] = ()
+    #: "one", "three", "dot5_even" or "dot5_odd".
+    density: str = "one"
 
 
 @dataclass(frozen=True)

@@ -94,9 +94,21 @@ def _shape_pdsch(pdu: PdschPdu) -> PdschPdu:
 
 
 def _shape_pdcch(pdu: PdcchPdu) -> PdcchPdu:
-    """PDCCH value-only fields (scrambling/CRC-mask identities) stripped; the
-    candidate's CCE/REG geometry stays."""
-    return dataclasses.replace(pdu, rnti=0, n_id=0, n_rnti=0)
+    """PDCCH value-only fields (scrambling/CRC-mask identities and the
+    precoding vector) stripped; the candidate's CCE/REG geometry stays."""
+    return dataclasses.replace(pdu, rnti=0, n_id=0, n_rnti=0, precoding=None)
+
+
+def _port_vector(precoding, nof_ports: int) -> np.ndarray:
+    """(P, 2) float32 single-layer port weights; None = port 0 only."""
+    if precoding is None:
+        w = np.zeros((nof_ports, 2), np.float32)
+        w[0, 0] = 1.0
+        return w
+    w = np.asarray(precoding, np.float32)
+    assert w.shape == (nof_ports, 2), \
+        f"port precoding shape {w.shape} != ({nof_ports}, 2)"
+    return w
 
 
 @dataclass(frozen=True)
@@ -111,7 +123,9 @@ class DlSlotPlanKey:
     pdsch: tuple[PdschPdu, ...]
     pdcch: tuple[PdcchPdu, ...]
     nof_ssb: int
-    csi_rs_shapes: tuple[tuple[int, int, int, int], ...]
+    #: Shape-normalized CSI-RS PDUs (row/k_ref/density determine the per-port
+    #: RE layout; scrambling values ride as inputs).
+    csi_rs: tuple = ()
     ssb_k0: tuple[int, ...] = ()
 
 
@@ -175,32 +189,48 @@ class DlSlotProgram:
                             start_d + ((pi * ndm + mi) * 2 + comb) * npil
                             + np.arange(npil))
 
-        # --- PDCCH (first port only) -----------------------------------------
+        # --- PDCCH (all ports; per-port weights are runtime values) ---------
         self.pdcch_prbs: list[list[int]] = []
         for pdu in key.pdcch:
             prbs, data_idx, dmrs_idx = _pdcch_plan(pdu, cell)
             self.pdcch_prbs.append(prbs)
-            sd = alloc(len(data_idx))
-            src_idx[0, data_idx] = sd + np.arange(len(data_idx))
-            sp = alloc(len(dmrs_idx))
-            src_idx[0, dmrs_idx] = sp + np.arange(len(dmrs_idx))
+            for pi in range(p):
+                sd = alloc(len(data_idx))
+                src_idx[pi, data_idx] = sd + np.arange(len(data_idx))
+                sp = alloc(len(dmrs_idx))
+                src_idx[pi, dmrs_idx] = sp + np.arange(len(dmrs_idx))
 
-        # --- SSB (first port, slot symbols 0-3 of the block) -------------------
+        # --- SSB (all ports, slot symbols 0-3 of the block) -----------------
         from . import pbch as pbch_mod
         for b in range(key.nof_ssb):
             k0 = key.ssb_k0[b]
             n = 4 * pbch_mod.SSB_NSUBC
-            st = alloc(n)
-            for sym in range(4):
-                flat0 = sym * cell.nof_subc + k0
-                src_idx[0, flat0:flat0 + pbch_mod.SSB_NSUBC] = (
-                    st + sym * pbch_mod.SSB_NSUBC + np.arange(pbch_mod.SSB_NSUBC))
+            for pi in range(p):
+                st = alloc(n)
+                for sym in range(4):
+                    flat0 = sym * cell.nof_subc + k0
+                    src_idx[pi, flat0:flat0 + pbch_mod.SSB_NSUBC] = (
+                        st + sym * pbch_mod.SSB_NSUBC
+                        + np.arange(pbch_mod.SSB_NSUBC))
 
-        # --- CSI-RS (first port; row-2 density 1) ------------------------------
-        for (nof_rb, prb_start, symbol, k_off) in key.csi_rs_shapes:
-            st = alloc(nof_rb)
-            flat = symbol * cell.nof_subc + (prb_start + np.arange(nof_rb)) * 12 + k_off
-            src_idx[0, flat] = st + np.arange(nof_rb)
+        # --- CSI-RS: full mapping-table rows, per-port CDM patterns ---------
+        from ..ops.csi_rs import CsiRsConfig, csi_rs_pattern
+        self.csi_layouts = []
+        for pdu in key.csi_rs:
+            cfgc = CsiRsConfig(
+                nof_rb=pdu.nof_rb, prb_start=pdu.prb_start, row=pdu.row,
+                k_ref=pdu.k_ref, symbol=pdu.symbol, density=pdu.density,
+                subcarrier_offset=pdu.subcarrier_offset,
+                scrambling_id=pdu.scrambling_id, slot=0)
+            pat = csi_rs_pattern(cfgc)  # layout; values arrive per slot
+            assert len(pat) <= p, \
+                f"CSI-RS row {pdu.row} needs {len(pat)} ports > cell's {p}"
+            self.csi_layouts.append(pat)
+            for port, (symbols, subc, _) in enumerate(pat):
+                for si, sym in enumerate(symbols):
+                    st = alloc(len(subc))
+                    flat = int(sym) * cell.nof_subc + subc
+                    src_idx[port, flat] = st + np.arange(len(subc))
 
         self.nof_src = self._cursor
         self.src_idx = jnp.asarray(src_idx.reshape(-1))
@@ -224,9 +254,16 @@ class DlSlotProgram:
         out = jnp.einsum("pl,cln,mn->pmcn", w, jnp.asarray(occ), pil_c)
         return from_cplx(out)  # (P, ndm, 2, npil, 2)
 
+    @staticmethod
+    def _weighted(w_p, val_pair):
+        """Complex multiply one port weight (2,) by values (..., 2)."""
+        wr, wi = w_p[0], w_p[1]
+        vr, vi = val_pair[..., 0], val_pair[..., 1]
+        return jnp.stack([wr * vr - wi * vi, wr * vi + wi * vr], axis=-1)
+
     def _assemble(self, slot_in_sf: int, tb_bits, pdsch_dmrs, pdcch_syms,
                   pdcch_dmrs, ssb_grids, csi_vals, pdsch_scr, pdsch_rm,
-                  pdsch_w):
+                  pdsch_w, pdcch_w, ssb_w):
         p = self.key.nof_tx_ports
         parts = [jnp.zeros((1, 2), jnp.float32)]
         for i, cfg in enumerate(self.pdsch_cfgs):
@@ -240,12 +277,15 @@ class DlSlotProgram:
             parts.append(ports.reshape(-1, 2))
             parts.append(self._dmrs_port_pilots(i, pdsch_dmrs[i], w).reshape(-1, 2))
         for i in range(len(self.key.pdcch)):
-            parts.append(pdcch_syms[i])
-            parts.append(pdcch_dmrs[i])
+            for pi in range(p):
+                parts.append(self._weighted(pdcch_w[i][pi], pdcch_syms[i]))
+                parts.append(self._weighted(pdcch_w[i][pi], pdcch_dmrs[i]))
         for b in range(self.key.nof_ssb):
-            parts.append(ssb_grids[b].reshape(-1, 2))
-        for i in range(len(self.key.csi_rs_shapes)):
-            parts.append(csi_vals[i])
+            for pi in range(p):
+                parts.append(
+                    self._weighted(ssb_w[b][pi], ssb_grids[b]).reshape(-1, 2))
+        for i in range(len(self.key.csi_rs)):
+            parts.append(csi_vals[i].reshape(-1, 2))
         src = jnp.concatenate(parts, axis=0)
         grid = jnp.take(src, self.src_idx, axis=0)
         grid = grid.reshape(p, 14, self.cell.nof_subc, 2)
@@ -254,12 +294,14 @@ class DlSlotProgram:
         return grid, samples
 
     def run(self, slot: int, tb_bits=(), pdsch_dmrs=(), pdcch_syms=(),
-            pdcch_dmrs=(), ssb_grids=(), csi_vals=(), pdsch_pdus=()):
+            pdcch_dmrs=(), ssb_grids=(), csi_vals=(), pdsch_pdus=(),
+            pdcch_pdus=(), ssb_pdus=()):
         """Execute the compiled slot program.
 
-        `pdsch_pdus` are the ORIGINAL (un-normalized) PDSCH PDUs carrying the
-        per-UE values (rnti/n_id/rv/precoding); when omitted, the key's
-        normalized PDUs are used (rnti=0, rv=0, identity precoding)."""
+        `pdsch_pdus`/`pdcch_pdus`/`ssb_pdus` are the ORIGINAL (un-normalized)
+        PDUs carrying the per-UE values (rnti/n_id/rv/precoding); when
+        omitted, the key's normalized PDUs are used (rnti=0, rv=0, identity
+        layer->port precoding; port-0 PDCCH/SSB)."""
         slot_in_sf = slot % (1 << self.cell.numerology)
         pdus = tuple(pdsch_pdus) if pdsch_pdus else self.key.pdsch
         p = self.key.nof_tx_ports
@@ -270,10 +312,16 @@ class DlSlotProgram:
                                       cfg.nof_codeword_bits))
             rm_idx.append(_rm_indices(cfg, pdu.rv))
             ws.append(jnp.asarray(_precoding_matrix(pdu, p)))
+        cpdus = tuple(pdcch_pdus) if pdcch_pdus else self.key.pdcch
+        pw = tuple(jnp.asarray(_port_vector(getattr(c, "precoding", None), p))
+                   for c in cpdus)
+        spdus = tuple(ssb_pdus) if ssb_pdus else (None,) * self.key.nof_ssb
+        sw = tuple(jnp.asarray(_port_vector(getattr(s, "precoding", None), p))
+                   for s in spdus)
         return self._compiled(slot_in_sf, tuple(tb_bits), tuple(pdsch_dmrs),
                               tuple(pdcch_syms), tuple(pdcch_dmrs),
                               tuple(ssb_grids), tuple(csi_vals),
-                              tuple(scr), tuple(rm_idx), tuple(ws))
+                              tuple(scr), tuple(rm_idx), tuple(ws), pw, sw)
 
 
 @functools.lru_cache(maxsize=512)
@@ -302,10 +350,7 @@ def plan_key_for(request: DlTtiRequest, cell) -> DlSlotPlanKey:
         pdsch=tuple(_shape_pdsch(p) for p in request.pdsch),
         pdcch=tuple(_shape_pdcch(p) for p in request.pdcch),
         nof_ssb=len(request.ssb),
-        csi_rs_shapes=tuple(
-            (c.nof_rb, c.prb_start, c.symbol, c.subcarrier_offset)
-            for c in getattr(request, "csi_rs", ())
-        ),
+        csi_rs=tuple(getattr(request, "csi_rs", ())),
         ssb_k0=tuple(cell.ssb_subc_offset + s.ssb_offset_pointa * 12
                      for s in request.ssb),
     )

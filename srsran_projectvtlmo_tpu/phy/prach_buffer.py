@@ -44,19 +44,33 @@ class PrachBuffer:
         self._data = np.zeros(
             (fmt.nof_fd_occasions, fmt.nof_symbols, fmt.nof_ports,
              fmt.sequence_length, 2), np.float32)
-        self._filled = np.zeros((fmt.nof_fd_occasions, fmt.nof_symbols), bool)
+        self._filled = np.zeros(
+            (fmt.nof_fd_occasions, fmt.nof_symbols, fmt.nof_ports), bool)
 
     def set_symbol(self, fd_occasion: int, symbol: int,
-                   samples: np.ndarray) -> None:
-        """Store one symbol's samples, (nof_ports, L, 2) or (L, 2) for 1 port."""
+                   samples: np.ndarray, port: int | None = None) -> None:
+        """Store one symbol's samples.
+
+        With `port=None`, samples must cover every port: (nof_ports, L, 2)
+        (or (L, 2) for a single-port format).  With `port=k`, samples are one
+        port's (L, 2) window (the per-port lower-PHY collector path) and only
+        that port's fill flag advances.  Shape mismatches raise: silently
+        numpy-broadcasting one port's data onto all ports would inflate the
+        detector's non-coherent combining metric.
+        """
         samples = np.asarray(samples, np.float32)
+        if port is not None:
+            expect = (self.fmt.sequence_length, 2)
+            if samples.shape != expect:
+                raise ValueError(
+                    f"PRACH symbol samples shape {samples.shape} != {expect}")
+            self._data[fd_occasion, symbol, port] = samples
+            self._filled[fd_occasion, symbol, port] = True
+            return
         if samples.ndim == 2:
             samples = samples[None]
         expect = (self.fmt.nof_ports, self.fmt.sequence_length, 2)
         if samples.shape != expect:
-            # Broadcasting (L, 2) / (1, L, 2) onto a multi-port buffer would
-            # silently duplicate one port's data across all ports and inflate
-            # the detector's non-coherent combining metric.
             raise ValueError(
                 f"PRACH symbol samples shape {samples.shape} != {expect}")
         self._data[fd_occasion, symbol] = samples

@@ -81,10 +81,14 @@ class UpperPhy:
     # ------------------------------------------------------------------ DL --
 
     def process_dl_slot(self, request: DlTtiRequest, tx_data: TxDataRequest | None = None,
-                        validate: bool = True):
+                        validate: bool = True, fetch: bool = True):
         """Build the DL slot and return (grid (nports, nsym, nsubc) complex64
         -- squeezed to (nsym, nsubc) for single-port cells -- and the OFDM
         samples (..., nsamples, 2) float32 numpy).
+
+        With fetch=False the raw DEVICE arrays (grid real-pair, samples) are
+        returned unsynced so callers can pipeline slots (phy.realtime
+        SlotPipeline) instead of blocking on the readback.
 
         All RE mapping (PDSCH with precoding, PDCCH, SSB, CSI-RS) happens in
         one fused device program (`phy.dl_slot.DlSlotProgram`); this method
@@ -146,18 +150,23 @@ class UpperPhy:
 
         csi_vals = []
         for pdu in request.csi_rs:
-            from ..ops.csi_rs import CsiRsConfig, csi_rs_sequence
+            from ..ops.csi_rs import CsiRsConfig, csi_rs_pattern
 
-            seq = csi_rs_sequence(CsiRsConfig(
-                nof_rb=pdu.nof_rb, prb_start=pdu.prb_start, symbol=pdu.symbol,
+            pat = csi_rs_pattern(CsiRsConfig(
+                nof_rb=pdu.nof_rb, prb_start=pdu.prb_start, row=pdu.row,
+                k_ref=pdu.k_ref, density=pdu.density, symbol=pdu.symbol,
                 subcarrier_offset=pdu.subcarrier_offset,
                 scrambling_id=pdu.scrambling_id, slot=slot,
             ))
-            csi_vals.append(jnp.asarray(np_to_pair(seq)))
+            flat = np.concatenate([v.reshape(-1) for (_, _, v) in pat])
+            csi_vals.append(jnp.asarray(np_to_pair(flat)))
 
         grid_pair, samples = program.run(
             slot, tb_bits, pdsch_dmrs, pdcch_syms, pdcch_dmrs, ssb_grids,
-            csi_vals, pdsch_pdus=tuple(request.pdsch))
+            csi_vals, pdsch_pdus=tuple(request.pdsch),
+            pdcch_pdus=tuple(request.pdcch), ssb_pdus=tuple(request.ssb))
+        if not fetch:
+            return grid_pair, samples
         out_grid = pair_to_np(to_host(grid_pair))
         if cfg.nof_tx_ports == 1:
             out_grid = out_grid[0]
@@ -251,15 +260,26 @@ class UpperPhy:
 
     def _process_pusch(self, slot, pdu, grid):
         cfg = self.cfg
+        # No-UCI PDUs run through the dynamic-value program: the DM-RS
+        # reference (absolute slot + n_id) and descrambling signs (rnti/n_id)
+        # are device INPUTS, so one compiled program per slot parity serves
+        # every UE and every slot (reference analog: per-slot PDU churn,
+        # fapi_to_phy_translator.cpp:290-351).  UCI-on-PUSCH keeps the static
+        # path (placement plans are baked per configuration).
+        dyn = not getattr(pdu, "nof_harq_ack_bits", 0)
         rx_cfg = PuschRxConfig(
             nof_rb=pdu.rb_size, modulation=pdu.modulation,
             target_code_rate=pdu.target_code_rate, nof_layers=pdu.nof_layers,
             nof_ofdm_symbols=pdu.nof_symbols,
             dmrs_symbols=tuple(s - pdu.start_symbol for s in pdu.dmrs_symbols),
-            rv=pdu.rv, rnti=pdu.rnti, n_id=pdu.n_id,
+            rv=pdu.rv,
+            rnti=0 if dyn else pdu.rnti,
+            n_id=0 if dyn else pdu.n_id,
             start_symbol=pdu.start_symbol, rb_start=pdu.rb_start,
             nof_rx_ports=cfg.nof_rx_ports, dft_size=cfg.dft_size,
-            numerology=cfg.numerology, slot=slot,
+            numerology=cfg.numerology,
+            slot=slot % (1 << cfg.numerology) if dyn else slot,
+            dynamic_params=dyn,
         )
         k0 = pdu.rb_start * 12
         sub = grid[None, :, pdu.start_symbol:pdu.start_symbol + pdu.nof_symbols,
@@ -273,7 +293,22 @@ class UpperPhy:
         harq = None
         if buf_idx is not None and not pdu.new_data:
             harq = self.harq_pool.get_soft(buf_idx, seg.nof_cb, n)[None]
-        out = rx(sub, harq)
+        if dyn:
+            from ..ops import prg as prg_mod
+
+            ref = np.stack([
+                dmrs_type1_sequence(slot, s, pdu.n_id, pdu.rb_size,
+                                    prb_start=pdu.rb_start)
+                for s in pdu.dmrs_symbols
+            ])
+            ref_in = jnp.asarray(np_to_pair(ref))[None]
+            cinit = ((pdu.rnti << 15) + pdu.n_id) & 0x7FFFFFFF
+            signs_in = jnp.asarray(
+                1 - 2 * prg_mod.gold_sequence_bits(
+                    cinit, rx_cfg.nof_codeword_bits).astype(np.int8))[None]
+            out = rx(sub, harq, ref_in, signs_in)
+        else:
+            out = rx(sub, harq)
         if buf_idx is not None:
             self.harq_pool.store(buf_idx, seg.nof_cb, n, out["harq_soft"][0])
         ok = bool(to_host(out["tb_crc_ok"])[0])

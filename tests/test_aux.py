@@ -3,6 +3,7 @@ tracing, config loading."""
 
 import json
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -103,6 +104,7 @@ def test_metrics_hub():
     assert s["uci"]["ok_ratio"] == 1.0
 
 
+@pytest.mark.slow
 def test_warmup_precompiles_slot_variants():
     import jax.numpy as jnp
     from srsran_projectvtlmo_tpu.phy.warmup import precompile_pusch

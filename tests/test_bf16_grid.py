@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -13,6 +14,7 @@ from srsran_projectvtlmo_tpu.ran.modulation import Modulation
 from srsran_projectvtlmo_tpu.ops import ofdm
 
 
+@pytest.mark.slow
 def test_bf16_grid_decodes_with_bounded_evm_penalty():
     cfg32 = PuschRxConfig(nof_rb=24, modulation=Modulation.QAM64,
                           target_code_rate=0.6, nof_rx_ports=1,

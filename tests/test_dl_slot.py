@@ -17,6 +17,7 @@ CELL4 = CellConfig(nof_rb=52, dft_size=1024, numerology=1, phys_cell_id=1,
 
 
 class TestPrecodedPdsch:
+    @pytest.mark.slow
     def test_4port_2layer_precoding_matches_oracle(self):
         """The device gather-plan grid equals a numpy per-RE oracle."""
         phy = UpperPhy(CELL4)
@@ -259,3 +260,105 @@ class TestDlDynamicValues:
                     grid[sym, k0:k0 + cfg.nof_subc],
                     syms[m:m + cfg.nof_subc], atol=2e-5)
                 m += cfg.nof_subc
+
+
+class TestMultiPortControlChannels:
+    """Precoded PDCCH/SSB beyond port 0 and the full CSI-RS row table
+    (VERDICT r2 item 7; reference: resource_grid_mapper_impl.cpp,
+    nzp_csi_rs_generator_impl.cpp:89-198)."""
+
+    def test_4port_all_channels_grid_parity(self):
+        from srsran_projectvtlmo_tpu.fapi.pdus import SsbPdu
+        from srsran_projectvtlmo_tpu.ops.csi_rs import (
+            CsiRsConfig, csi_rs_pattern)
+        from srsran_projectvtlmo_tpu.phy import pdcch as pdcch_mod
+        from srsran_projectvtlmo_tpu.phy import pbch as pbch_mod
+        from srsran_projectvtlmo_tpu.phy.dl_slot import _pdcch_plan
+
+        phy = UpperPhy(CELL4)
+        rng = np.random.default_rng(5)
+        wv = (rng.normal(size=4) + 1j * rng.normal(size=4)).astype(np.complex64) / 2
+        prec_v = tuple((float(c.real), float(c.imag)) for c in wv)
+        wv_ssb = (rng.normal(size=4) + 1j * rng.normal(size=4)).astype(np.complex64) / 2
+        prec_ssb = tuple((float(c.real), float(c.imag)) for c in wv_ssb)
+
+        # PDCCH at symbol 4: clear of the SSB block (symbols 0-3).
+        pdcch = PdcchPdu(rnti=0x55, nof_dci_bits=24, aggregation_level=2,
+                         cce_index=0, start_symbol=4, n_id=3, n_rnti=0x55,
+                         coreset_nof_rb=48, precoding=prec_v)
+        ssb = SsbPdu(phys_cell_id=1, ssb_block_index=0, sfn=0,
+                     half_radio_frame=False, precoding=prec_ssb)
+        # Row 4: 4 ports, fd-CDM2, density one.
+        csi = CsiRsPdu(nof_rb=52, prb_start=0, symbol=9, row=4, k_ref=(2,),
+                       density="one", scrambling_id=7)
+        req = DlTtiRequest(slot=3, pdcch=(pdcch,), ssb=(ssb,), csi_rs=(csi,))
+        grid, _ = phy.process_dl_slot(req, None)
+        assert grid.shape == (4, 14, CELL4.nof_subc)
+
+        # PDCCH: every port carries w_p * (candidate symbols) at its REs.
+        prbs, data_idx, dmrs_idx = _pdcch_plan(pdcch, CELL4)
+        syms = pdcch_mod.pdcch_modulate(
+            pdcch_mod.PdcchCandidateConfig(
+                nof_dci_bits=24, aggregation_level=2, rnti=0x55, n_id=3,
+                n_rnti=0x55),
+            np.zeros(24, np.uint8))
+        for p in range(4):
+            np.testing.assert_allclose(
+                grid[p].reshape(-1)[data_idx], wv[p] * syms, atol=2e-6)
+
+        # SSB block scaled by its own port vector on symbols 0-3.
+        msg = pbch_mod.PbchMessage(sfn=0, ssb_idx=0, half_radio_frame=False,
+                                   n_id=1, l_max=8,
+                                   mib_payload=tuple([0] * 24))
+        block = pbch_mod.assemble_ssb(msg)  # (4, 240)
+        k0 = CELL4.ssb_subc_offset
+        for p in range(4):
+            np.testing.assert_allclose(
+                grid[p, :4, k0:k0 + 240], wv_ssb[p] * block, atol=2e-6)
+
+        # CSI-RS row 4: per-port CDM pattern equals the numpy oracle.
+        pat = csi_rs_pattern(CsiRsConfig(
+            nof_rb=52, prb_start=0, symbol=9, row=4, k_ref=(2,),
+            density="one", scrambling_id=7, slot=3))
+        assert len(pat) == 4
+        for p, (symbols, subc, vals) in enumerate(pat):
+            for si, sym in enumerate(symbols):
+                np.testing.assert_allclose(grid[p, int(sym), subc], vals[si],
+                                           atol=2e-6)
+        # fd-CDM2: ports 0/1 share REs with opposite second-subcarrier signs.
+        s0, c0, v0 = pat[0]
+        s1, c1, v1 = pat[1]
+        np.testing.assert_array_equal(c0, c1)
+        np.testing.assert_allclose(v0[0][0::2], v1[0][0::2], atol=1e-7)
+        np.testing.assert_allclose(v0[0][1::2], -v1[0][1::2], atol=1e-7)
+
+    def test_csi_rs_row_port_counts(self):
+        from srsran_projectvtlmo_tpu.ops.csi_rs import (
+            CsiRsConfig, ROW_PORTS, csi_rs_pattern)
+
+        for row in range(1, 13):
+            cfg = CsiRsConfig(nof_rb=8, row=row, k_ref=(0, 2, 4, 6, 8, 10),
+                              density="three" if row == 1 else "one",
+                              symbol=4)
+            pat = csi_rs_pattern(cfg)
+            assert len(pat) == ROW_PORTS[row], row
+            # All ports within a CDM group share their RE positions.
+            from srsran_projectvtlmo_tpu.ops.csi_rs import ROW_CDM, _CDM_SIZE
+            cs = _CDM_SIZE[ROW_CDM[row]]
+            for g in range(ROW_PORTS[row] // cs):
+                base = pat[g * cs]
+                for j in range(1, cs):
+                    np.testing.assert_array_equal(base[1], pat[g * cs + j][1])
+                    np.testing.assert_array_equal(base[0], pat[g * cs + j][0])
+
+    def test_csi_rs_density_dot5(self):
+        from srsran_projectvtlmo_tpu.ops.csi_rs import (
+            CsiRsConfig, csi_rs_pattern)
+
+        pat = csi_rs_pattern(CsiRsConfig(nof_rb=10, prb_start=3, row=2,
+                                         density="dot5_even",
+                                         subcarrier_offset=5, symbol=6))
+        _, subc, vals = pat[0]
+        # Only even PRBs in [3, 13): 4, 6, 8, 10, 12.
+        np.testing.assert_array_equal(subc // 12, [4, 6, 8, 10, 12])
+        assert vals.shape == (1, 5)

@@ -15,7 +15,11 @@ from srsran_projectvtlmo_tpu.utils.llr import LLR_INFTY
 
 from tests.golden.ldpc import golden_decode
 
-SAMPLE_Z = [2, 3, 13, 30, 52, 112, 208, 384]
+# z=208/384 compile for tens of seconds on CPU; the fast tier keeps the
+# small/medium lifting sizes and the slow tier covers the big ones.
+SAMPLE_Z = [2, 3, 13, 30, 52, 112,
+            pytest.param(208, marks=pytest.mark.slow),
+            pytest.param(384, marks=pytest.mark.slow)]
 
 
 class TestGraphs:

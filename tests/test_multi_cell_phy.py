@@ -3,6 +3,7 @@ sharded program for same-structure PUSCH across cells with different
 rnti/n_id (dynamic_params inputs)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,7 @@ from srsran_projectvtlmo_tpu.phy.upper_phy import CellConfig
 from srsran_projectvtlmo_tpu.ran.modulation import Modulation
 
 
+@pytest.mark.slow
 def test_four_cells_distinct_rnti_one_program():
     ncell = 4
     cell = CellConfig(nof_rb=24, dft_size=512, numerology=1, nof_rx_ports=1)
@@ -65,6 +67,7 @@ def test_four_cells_distinct_rnti_one_program():
         np.testing.assert_array_equal(rxd[0].tb_bits, tbs_list[c])
 
 
+@pytest.mark.slow
 def test_heterogeneous_shapes_fall_back_per_cell():
     """Cells with different PUSCH shapes still process (per-cell path)."""
     ncell = 2

@@ -76,7 +76,7 @@ def test_collector_to_buffer_to_detector():
             win = col.on_symbol(4, s, np.stack([c.real, c.imag], -1))
         assert win is not None  # completed after the last symbol
         for s in range(nof_symbols):
-            buf.set_symbol(0, s, win[s].astype(np.float32))
+            buf.set_symbol(0, s, win[s].astype(np.float32), port=p)
     assert buf.full
 
     occ = np.transpose(buf.occasion(0), (1, 0, 2, 3))[None]  # (1, P, S, L, 2)

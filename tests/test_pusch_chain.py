@@ -64,6 +64,7 @@ class TestPuschChain:
         assert np.asarray(out["tb_crc_ok"]).all()
         np.testing.assert_array_equal(flatten_tb_bits(np.asarray(out["tb_bits_cb"]), tb.shape[-1]), tb)
 
+    @pytest.mark.slow
     def test_tdla_fading_decodes_at_high_snr(self):
         cfg = PuschRxConfig(nof_rb=24, modulation=Modulation.QPSK, target_code_rate=0.33,
                             nof_rx_ports=2, dft_size=512, numerology=1,

@@ -38,8 +38,21 @@ def _hammer(mon, lock=None, n=200):
 
 
 def test_unlocked_shared_write_is_reported():
+    # Deterministic interleaving: a barrier keeps both threads ALIVE and past
+    # start before either touches the field.  (Sequential threads can be
+    # assigned the same recycled thread ident by CPython, which made the
+    # unsynchronized version of this test flaky: the monitor saw "one
+    # thread" and correctly stayed silent.)  With two live threads, the
+    # second writer always drives the Eraser machine to shared-modified with
+    # an empty lockset, so the report fires on every run.
     mon = Monitored(_Counter(), "counter")
-    ts = [threading.Thread(target=_hammer, args=(mon,)) for _ in range(2)]
+    bar = threading.Barrier(2)
+
+    def hammer_sync():
+        bar.wait()
+        _hammer(mon)
+
+    ts = [threading.Thread(target=hammer_sync) for _ in range(2)]
     for t in ts:
         t.start()
     for t in ts:
@@ -151,7 +164,10 @@ def test_prach_collector_cross_thread_misuse_detected():
     mon = Monitored(col, "prach_collector")
     samp = np.zeros(8, np.complex64)
 
+    bar = threading.Barrier(2)  # overlap the threads (no ident recycling)
+
     def feed(base):
+        bar.wait()
         for s in range(base, 64, 2):
             mon.state = mon.state  # touch shared state unlocked
             col.on_symbol(0, s, samp)
