@@ -261,7 +261,12 @@ def run_northstar(args) -> int:
     prach_expected = 0
     prach_found = 0
     t_start = time.perf_counter()
-    for slot in range(args.slots):
+    for count in range(args.slots):
+        # The emulated radio repeats with period 8 (the TDD pattern length):
+        # the UE-emulator TX programs are static per slot value, so the
+        # periodization bounds compilation at 8 variants while the gNB side
+        # (dynamic-value DL/UL programs) compiles once per slot parity.
+        slot = count % 8
         # ---- DL slot, pipelined (unsynced device results in flight) -------
         dl_req = DlTtiRequest(
             slot=slot,
@@ -287,7 +292,7 @@ def run_northstar(args) -> int:
         f1 = pucch_mod.PucchFormat1Config(
             n_id=cell.phys_cell_id, slot=slot, start_symbol=0, nof_symbols=14,
             initial_cyclic_shift=3, time_domain_occ=0, nof_harq_bits=1)
-        seqs, w_data, w_dmrs = pucch_mod._f1_tables(f1)
+        seqs, (w_data,), (w_dmrs,) = pucch_mod._f1_tables(f1)
         d = (1 - 2 * 1) / np.sqrt(2) * (1 + 1j)
         i_data = i_dmrs = 0
         for s in range(14):
@@ -323,7 +328,7 @@ def run_northstar(args) -> int:
 
         prach_buf = None
         prach_req = ()
-        if slot % 8 == 4:
+        if slot == 4:
             # PRACH occasion: preamble 7 through a per-port channel into the
             # occasion buffer.
             prach_expected += 1
@@ -343,13 +348,13 @@ def run_northstar(args) -> int:
         for ind in inds:
             if isinstance(ind, CrcIndication):
                 crc_ok += int(ind.tb_crc_ok)
-                print(f"slot {slot}: PUSCH rnti=0x{ind.rnti:04x} "
+                print(f"slot {count}: PUSCH rnti=0x{ind.rnti:04x} "
                       f"crc={'OK' if ind.tb_crc_ok else 'KO'}", flush=True)
             elif isinstance(ind, UciIndication):
                 ok = bool(ind.valid) and np.asarray(ind.harq_bits).ravel()[:1].tolist() == [1]
                 pucch_ok += int(ok)
             elif isinstance(ind, RachIndication):
-                pres = [int(p.preamble_index) for p in ind.preambles]
+                pres = [int(p[0]) for p in ind.preambles]
                 if 7 in pres:
                     prach_found += 1
                 print(f"slot {slot}: PRACH preambles={pres}", flush=True)

@@ -153,6 +153,8 @@ class PucchPdu:
     sr_opportunity: bool = False
     n_id: int = 0
     n_id0: int = 0
+    #: Format 1 intra-slot frequency hopping: second-hop PRB (None = off).
+    second_hop_prb: int | None = None
 
 
 @dataclass(frozen=True)

@@ -84,7 +84,7 @@ class MultiCellUpperPhy:
             n = next(iter(nof_pdus))
             for i in range(n):
                 keys = {_static_key(r.pusch[i]) for r in requests}
-                if len(keys) == 1 and requests[0].pusch[i].new_data:
+                if len(keys) == 1:
                     batchable.append(i)
 
         if batchable:
@@ -145,14 +145,39 @@ class MultiCellUpperPhy:
         ref_in = cell_sh(jnp.asarray(np.stack(refs)), 4)
         signs_in = cell_sh(jnp.asarray(np.stack(signs)), 2)
 
+        # HARQ riding the batch: retransmitting cells contribute their stored
+        # soft bits, new-data cells an all-zero buffer (the promotion sum is
+        # the identity on zeros, bit-exact with not combining), so ONE
+        # program serves any new-data/retx mix
+        # (reference: include/srsran/phy/upper/rx_buffer_pool.h:40-106).
+        seg = rx_cfg.segmentation
+        ncb, nbits = seg.nof_cb, seg.nof_cw_bits_per_cb
+        buf_idxs = []
+        harq_rows = []
+        for c, pdu in enumerate(pdus):
+            pool = self.harq_pools[c]
+            bi = pool.reserve(slot, pdu.rnti, pdu.harq_id, ncb,
+                              new_data=pdu.new_data)
+            buf_idxs.append(bi)
+            if bi is not None and not pdu.new_data:
+                harq_rows.append(pool.get_soft(bi, ncb, nbits))
+            else:
+                harq_rows.append(jnp.zeros((ncb, nbits), jnp.int8))
+        harq_in = cell_sh(jnp.stack(harq_rows), 3)
+
         rx = cached_pusch_rx_from_grid(rx_cfg)
-        res = rx(sub, None, ref_in, signs_in)
+        res = rx(sub, harq_in, ref_in, signs_in)
         ok = to_host(res["tb_crc_ok"])
         bits = flatten_tb_bits(to_host(res["tb_bits_cb"]), rx_cfg.tbs)
         for c, pdu in enumerate(pdus):
+            if buf_idxs[c] is not None:
+                self.harq_pools[c].store(buf_idxs[c], ncb, nbits,
+                                         res["harq_soft"][c])
             out[c].append(CrcIndication(slot=slot, rnti=pdu.rnti,
                                         harq_id=pdu.harq_id,
                                         tb_crc_ok=bool(ok[c])))
             out[c].append(RxDataIndication(
                 slot=slot, rnti=pdu.rnti, harq_id=pdu.harq_id,
                 tb_bits=bits[c] if ok[c] else None))
+            if ok[c]:
+                self.harq_pools[c].release(pdu.rnti, pdu.harq_id)

@@ -123,13 +123,25 @@ class PucchFormat1Config:
     initial_cyclic_shift: int
     time_domain_occ: int
     nof_harq_bits: int  # 1 or 2
+    #: Intra-slot frequency hopping: the slot's symbols split into two hops
+    #: (first hop = floor(N/2) symbols), each despread with its own
+    #: (shorter) OCC and its own channel estimate; the detection statistic
+    #: averages across hops.  The CALLER gathers each symbol's 12 REs from
+    #: that symbol's hop PRB (like the PUSCH hopping contract)
+    #: (reference: pucch_detector_impl.cpp:172-176).
+    intra_slot_hopping: bool = False
+
+
+def _f1_hop_ranges(cfg: PucchFormat1Config) -> list[tuple[int, int]]:
+    if not cfg.intra_slot_hopping:
+        return [(0, cfg.nof_symbols)]
+    half = cfg.nof_symbols // 2
+    return [(0, half), (half, cfg.nof_symbols)]
 
 
 @functools.lru_cache(maxsize=None)
 def _f1_tables(cfg: PucchFormat1Config):
     u, v = pucch_group_sequence(cfg.n_id)
-    n_data = cfg.nof_symbols // 2
-    n_dmrs = cfg.nof_symbols - n_data
     # DM-RS on even relative symbols, data on odd (Section 6.3.2.4.2/6.4.1.3.1).
     seqs = []
     for s in range(cfg.nof_symbols):
@@ -137,11 +149,18 @@ def _f1_tables(cfg: PucchFormat1Config):
         alpha = 2 * np.pi * ((cfg.initial_cyclic_shift + ncs) % NRE) / NRE
         seqs.append(low_papr_sequence(u, v, alpha, NRE))
     seqs = np.stack(seqs)  # (S, 12)
-    # OCC w_i(m) = exp(2 pi j i m / N) (DFT codes).
+    # OCC w_i(m) = exp(2 pi j i m / N) (DFT codes), per hop: the spreading
+    # factor is each hop's own data/DM-RS symbol count.
     i = cfg.time_domain_occ
-    w_data = np.exp(2j * np.pi * i * np.arange(n_data) / n_data).astype(np.complex64)
-    w_dmrs = np.exp(2j * np.pi * i * np.arange(n_dmrs) / n_dmrs).astype(np.complex64)
-    return seqs, w_data, w_dmrs
+    w_data, w_dmrs = [], []
+    for a, b in _f1_hop_ranges(cfg):
+        n_dmrs = sum(1 for s in range(a, b) if s % 2 == 0)
+        n_data = (b - a) - n_dmrs
+        w_data.append(np.exp(2j * np.pi * i * np.arange(n_data)
+                             / max(n_data, 1)).astype(np.complex64))
+        w_dmrs.append(np.exp(2j * np.pi * i * np.arange(n_dmrs)
+                             / max(n_dmrs, 1)).astype(np.complex64))
+    return seqs, tuple(w_data), tuple(w_dmrs)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -150,18 +169,36 @@ def detect_pucch_format1(rx_prb_pair, cfg: PucchFormat1Config):
 
     Returns (harq_bits (B, nof_harq) uint8, metric (B,)).
     """
-    seqs, w_data, w_dmrs = _f1_tables(cfg)
+    seqs, w_data_h, w_dmrs_h = _f1_tables(cfg)
     y = to_cplx(rx_prb_pair)  # (B, S, 12)
     r = jnp.asarray(seqs)
     # Despread the base sequence from every symbol.
     z = jnp.sum(y * jnp.conj(r)[None], axis=-1) / NRE  # (B, S)
-    dmrs = z[:, 0::2]  # even symbols: DM-RS
-    data = z[:, 1::2]
-    # OCC despread.
-    h = jnp.sum(dmrs * jnp.conj(jnp.asarray(w_dmrs))[None], axis=-1) / len(w_dmrs)  # (B,)
-    d = jnp.sum(data * jnp.conj(jnp.asarray(w_data))[None], axis=-1) / len(w_data)
-    # Coherent demodulation: d_hat = d * conj(h).
-    x = d * jnp.conj(h)
+
+    # Per hop: OCC despread with the hop's own spreading factor, per-hop
+    # channel, then combine (maximum-ratio across hops).
+    x = 0.0
+    sum_corr = 0.0
+    sum_nv = 0.0
+    for k, (a, b) in enumerate(_f1_hop_ranges(cfg)):
+        dmrs_idx = [s for s in range(a, b) if s % 2 == 0]
+        data_idx = [s for s in range(a, b) if s % 2 == 1]
+        dmrs = z[:, jnp.asarray(dmrs_idx)]
+        data = z[:, jnp.asarray(data_idx)]
+        w_dmrs = jnp.asarray(w_dmrs_h[k])
+        w_data = jnp.asarray(w_data_h[k])
+        h = jnp.sum(dmrs * jnp.conj(w_dmrs)[None], axis=-1) / len(w_dmrs)
+        d = jnp.sum(data * jnp.conj(w_data)[None], axis=-1) / len(w_data)
+        x = x + d * jnp.conj(h)
+        corr_d = jnp.abs(h) ** 2
+        corr_x = jnp.abs(d) ** 2
+        nv_dmrs = jnp.maximum(
+            jnp.mean(jnp.abs(dmrs - h[:, None] * w_dmrs[None]) ** 2, -1), 0.0)
+        nv_data = jnp.maximum(
+            jnp.mean(jnp.abs(data - d[:, None] * w_data[None]) ** 2, -1), 0.0)
+        sum_corr = sum_corr + corr_d + corr_x
+        sum_nv = sum_nv + nv_dmrs * corr_d + nv_data * corr_x
+
     if cfg.nof_harq_bits == 1:
         bits = (jnp.real(x) <= 0).astype(jnp.uint8)[:, None]
     else:
@@ -173,16 +210,6 @@ def detect_pucch_format1(rx_prb_pair, cfg: PucchFormat1Config):
     # 277-286): matched-filter energy over the noise estimate, with the
     # noise variance taken from the despreading residuals; normalized by the
     # threshold (4.0: ~1% false alarm for the unit-variance statistic).
-    corr_d = jnp.abs(h) ** 2
-    corr_x = jnp.abs(d) ** 2
-    nv_dmrs = jnp.maximum(
-        jnp.mean(jnp.abs(dmrs - h[:, None] * jnp.asarray(w_dmrs)[None]) ** 2, -1),
-        0.0)
-    nv_data = jnp.maximum(
-        jnp.mean(jnp.abs(data - d[:, None] * jnp.asarray(w_data)[None]) ** 2, -1),
-        0.0)
-    sum_corr = corr_d + corr_x
-    sum_nv = nv_dmrs * corr_d + nv_data * corr_x
     metric = jnp.where(sum_nv > 1e-30, sum_corr * sum_corr / sum_nv,
                        jnp.where(sum_corr > 1e-12, 1e9, 0.0))
     return bits, metric / F1_DETECTION_THRESHOLD

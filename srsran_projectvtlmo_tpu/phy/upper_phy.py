@@ -364,12 +364,25 @@ class UpperPhy:
                                  valid=bool(to_host(metric)[0] > 1.0),
                                  sr_detected=bool(to_host(sr)[0]))
         if pdu.format == 1:
+            hop = getattr(pdu, "second_hop_prb", None)
             f1 = pucch_mod.PucchFormat1Config(
                 n_id=pdu.n_id, slot=slot, start_symbol=pdu.start_symbol,
                 nof_symbols=pdu.nof_symbols,
                 initial_cyclic_shift=pdu.initial_cyclic_shift,
                 time_domain_occ=pdu.time_domain_occ, nof_harq_bits=pdu.nof_harq_bits,
+                intra_slot_hopping=hop is not None,
             )
+            if hop is not None:
+                # Second-hop symbols take their 12 REs from the hop's PRB.
+                g0 = to_host(grid)[0]
+                half = pdu.nof_symbols // 2
+                k1 = hop * 12
+                sub = np.concatenate([
+                    g0[pdu.start_symbol:pdu.start_symbol + half,
+                       k0:k0 + 12, :],
+                    g0[pdu.start_symbol + half:pdu.start_symbol + pdu.nof_symbols,
+                       k1:k1 + 12, :],
+                ], axis=0)
             bits, metric = pucch_mod.detect_pucch_format1(jnp.asarray(sub[None]), f1)
             return UciIndication(slot=slot, rnti=pdu.rnti,
                                  harq_bits=to_host(bits)[0], uci_bits=None,

@@ -47,7 +47,7 @@ class TestFormat1:
             n_id=30, slot=1, start_symbol=0, nof_symbols=14,
             initial_cyclic_shift=3, time_domain_occ=occ, nof_harq_bits=len(bits),
         )
-        seqs, w_data, w_dmrs = pucch._f1_tables(cfg)
+        seqs, (w_data,), (w_dmrs,) = pucch._f1_tables(cfg)
         if len(bits) == 1:
             d = (1 - 2 * bits[0]) / np.sqrt(2) * (1 + 1j)
         else:
@@ -103,3 +103,84 @@ def test_group_hopping_varies_per_slot():
     assert all(0 <= u < 30 for u in us)
     # Without hopping: deterministic.
     assert pucch_group_sequence(301)[0] == 301 % 30
+
+
+class TestFormat1Hopping:
+    """Intra-slot frequency hopping: per-hop OCC despread + channel estimate,
+    metric averaged (VERDICT r2 item 8;
+    reference: pucch_detector_impl.cpp:172-176)."""
+
+    def _tx_hop(self, cfg, bits, h_per_hop, noise, rng):
+        seqs, w_data_h, w_dmrs_h = pucch._f1_tables(cfg)
+        if len(bits) == 1:
+            d = (1 - 2 * bits[0]) / np.sqrt(2) * (1 + 1j)
+        else:
+            d = ((1 - 2 * bits[0]) + 1j * (1 - 2 * bits[1])) / np.sqrt(2)
+        rx = np.zeros((cfg.nof_symbols, 12), np.complex64)
+        for k, (a, b) in enumerate(pucch._f1_hop_ranges(cfg)):
+            i_d = i_p = 0
+            for s in range(a, b):
+                if s % 2 == 0:
+                    rx[s] = h_per_hop[k] * w_dmrs_h[k][i_p] * seqs[s]
+                    i_p += 1
+                else:
+                    rx[s] = h_per_hop[k] * d * w_data_h[k][i_d] * seqs[s]
+                    i_d += 1
+        rx += noise * (rng.normal(size=rx.shape) + 1j * rng.normal(size=rx.shape))
+        return rx
+
+    @pytest.mark.parametrize("bits", [[0], [1], [1, 0]])
+    def test_detects_across_hops(self, bits):
+        cfg = pucch.PucchFormat1Config(
+            n_id=7, slot=2, start_symbol=0, nof_symbols=14,
+            initial_cyclic_shift=4, time_domain_occ=1, nof_harq_bits=len(bits),
+            intra_slot_hopping=True)
+        rng = np.random.default_rng(3)
+        # Independent per-hop channels (the point of hopping diversity).
+        h = [0.9 - 0.3j, -0.2 + 0.8j]
+        rx = self._tx_hop(cfg, bits, h, 0.05, rng)
+        got, metric = pucch.detect_pucch_format1(
+            jnp.asarray(cplx_pair(rx)[None]), cfg)
+        np.testing.assert_array_equal(np.asarray(got)[0], bits)
+        assert float(np.asarray(metric)[0]) > 1.0
+
+    def test_noise_only_below_threshold(self):
+        cfg = pucch.PucchFormat1Config(
+            n_id=7, slot=2, start_symbol=0, nof_symbols=14,
+            initial_cyclic_shift=4, time_domain_occ=1, nof_harq_bits=1,
+            intra_slot_hopping=True)
+        rng = np.random.default_rng(4)
+        rx = 0.3 * (rng.normal(size=(14, 12)) + 1j * rng.normal(size=(14, 12)))
+        _, metric = pucch.detect_pucch_format1(
+            jnp.asarray(cplx_pair(rx.astype(np.complex64))[None]), cfg)
+        assert float(np.asarray(metric)[0]) < 1.0
+
+    def test_upper_phy_hop_extraction(self):
+        """End-to-end through UpperPhy: hop halves live at different PRBs."""
+        from srsran_projectvtlmo_tpu.fapi.pdus import UlTtiRequest, PucchPdu, UciIndication
+        from srsran_projectvtlmo_tpu.phy.upper_phy import CellConfig, UpperPhy
+        from srsran_projectvtlmo_tpu.ops import ofdm
+        from srsran_projectvtlmo_tpu.utils.cplx import np_to_pair
+
+        cell = CellConfig(nof_rb=24, dft_size=512, numerology=1)
+        phy = UpperPhy(cell)
+        cfg = pucch.PucchFormat1Config(
+            n_id=cell.phys_cell_id, slot=0, start_symbol=0, nof_symbols=14,
+            initial_cyclic_shift=2, time_domain_occ=0, nof_harq_bits=1,
+            intra_slot_hopping=True)
+        rng = np.random.default_rng(5)
+        rx = self._tx_hop(cfg, [1], [0.8 + 0.2j, 0.1 - 0.9j], 0.03, rng)
+        carrier = np.zeros((14, cell.nof_subc), np.complex64)
+        half = 7
+        carrier[:half, 3 * 12:4 * 12] = rx[:half]
+        carrier[half:, 20 * 12:21 * 12] = rx[half:]
+        samples = np.asarray(ofdm.ofdm_modulate(
+            jnp.asarray(np_to_pair(carrier))[None], cell.dft_size, 1, 0))
+        pdu = PucchPdu(format=1, rnti=0x31, prb_start=3, nof_prb=1,
+                       start_symbol=0, nof_symbols=14, initial_cyclic_shift=2,
+                       time_domain_occ=0, nof_harq_bits=1,
+                       n_id=cell.phys_cell_id, second_hop_prb=20)
+        inds = phy.process_ul_slot(UlTtiRequest(slot=0, pucch=(pdu,)), samples)
+        uci = [i for i in inds if isinstance(i, UciIndication)]
+        assert len(uci) == 1 and uci[0].valid
+        np.testing.assert_array_equal(uci[0].harq_bits, [1])

@@ -75,7 +75,7 @@ class TestDetection:
     def test_format1_detects_at_5db(self):
         rng = np.random.default_rng(3)
         cfg = _f1_cfg()
-        seqs, w_data, w_dmrs = pucch_mod._f1_tables(cfg)
+        seqs, (w_data,), (w_dmrs,) = pucch_mod._f1_tables(cfg)
         amp = 10 ** (5 / 20.0)
         hits = 0
         trials = 20
