@@ -23,7 +23,7 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 
@@ -59,6 +59,8 @@ def main() -> int:
         return run_northstar(args)
 
     import jax.numpy as jnp
+    from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from srsran_projectvtlmo_tpu.fapi.pdus import (
         DlTtiRequest, UlTtiRequest, TxDataRequest, SsbPdu, PdschPdu, PuschPdu,
         CrcIndication,
@@ -193,6 +195,8 @@ def run_northstar(args) -> int:
     import dataclasses
 
     import jax.numpy as jnp
+    from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from srsran_projectvtlmo_tpu.fapi.pdus import (
         DlTtiRequest, UlTtiRequest, TxDataRequest, SsbPdu, PdschPdu, PdcchPdu,
         CsiRsPdu, PuschPdu, PucchPdu, PrachPdu, CrcIndication, RachIndication,

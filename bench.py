@@ -32,12 +32,14 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(HERE, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 
 def child_pusch_4port(batch: int, rounds: int, iters_ldpc: int):
     import numpy as np
     import jax
+    from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from srsran_projectvtlmo_tpu.models.pusch_rx import (
         PuschRxConfig, build_pusch_rx_slot)

@@ -14,10 +14,13 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(HERE, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 import jax.numpy as jnp
+
+from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 
 from srsran_projectvtlmo_tpu.fapi.pdus import (
     DlTtiRequest, TxDataRequest, PdschPdu, PdcchPdu, SsbPdu, CsiRsPdu,

@@ -58,8 +58,44 @@ def _uci_field_encoder(nof_payload_bits: int, nof_enc_bits: int, qm: int):
             return jnp.take(rm32, jnp.asarray(tile_idx), axis=-1).astype(jnp.uint8)
 
         return enc
-    raise NotImplementedError(
-        "device-side polar UCI encoding (K >= 12) not wired into the UE emulator")
+
+    # K >= 12: CRC6/11 + polar (n_max=10, ibil) with optional 2-CB split —
+    # every stage (CRC matmul, allocation scatter, butterfly XOR encode,
+    # rate-match gather) is a static-shape device op, so long UCI payloads
+    # ride the SAME jitted UE-emulator slot program as the SCH
+    # (TS 38.212 Section 6.3.2; closes the round-2 "device-side UCI polar
+    # encoding >11 bits" gap).
+    from ..ops import uci as uci_mod
+    from ..ops.crc import crc_device
+    from ..ops.polar import PolarCode, polar_encode, polar_allocate
+    from ..ops.polar import rate_matching as polar_rm
+
+    k = nof_payload_bits
+    e = nof_enc_bits
+    c = uci_mod.nof_uci_codeblocks(k, e)
+    crc_name = "CRC11" if uci_mod.uci_crc_size(k) == 11 else "CRC6"
+    k0 = k // c
+    filler = k % c if c > 1 else 0
+    starts = [0, k0]
+    sizes = [k0, -(-k // c)] if c == 2 else [k]
+
+    def enc(bits):
+        outs = []
+        for j in range(c):
+            cb = bits[:, starts[j]:starts[j] + sizes[j]]
+            if j == 0 and filler:
+                cb = jnp.concatenate(
+                    [jnp.zeros((bits.shape[0], filler), bits.dtype), cb], -1)
+            payload = jnp.concatenate(
+                [cb, crc_device(cb, crc_name)], axis=-1)
+            code = PolarCode(K=payload.shape[-1], E=e // c, n_max=10,
+                             ibil=True)
+            u = polar_allocate(payload, code)
+            x = polar_encode(u, code.n)
+            outs.append(polar_rm.rate_match(x, code).astype(jnp.uint8))
+        return jnp.concatenate(outs, axis=-1)
+
+    return enc
 
 
 def build_ulsch_tx_slot(cfg: PuschRxConfig, nof_csi_part2_bits: int | None = None):

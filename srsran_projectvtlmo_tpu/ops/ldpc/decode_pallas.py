@@ -425,28 +425,23 @@ def _make_kernel_delta_es_bm(bg: BaseGraph, z: int, max_iterations: int,
             else:
                 x = llr_ref[:, c - 2, :].astype(jnp.int32)
                 soft[c] = pltpu.roll(x, (z - final_dom[c]) % z, axis=1)
-        min1[...] = jnp.zeros((m, b_tile, z), jnp.int32)
-        min2[...] = jnp.zeros((m, b_tile, z), jnp.int32)
-        amin[...] = jnp.zeros((m, b_tile, z), jnp.int32)
-        signs[...] = jnp.zeros((m, b_tile, z), jnp.int32)
-        sprod[...] = jnp.zeros((m, b_tile, z), jnp.int32)
         out_soft[...] = jnp.zeros((g.kb, b_tile, z), jnp.int32)
         done[...] = jnp.zeros((b_tile, z), jnp.int32)
         itcnt[...] = jnp.full((b_tile, z), max_iterations, jnp.int32)
 
-        def cond(carry):
-            it, alldone = carry
-            return jnp.logical_and(it < max_iterations, alldone == 0)
-
-        def body(carry):
-            it, _ = carry
+        def sweep(first: bool):
+            """One full layer sweep; `first` (trace-time) skips the
+            reconstruction of the previous c2v messages, which are all zero
+            on iteration 0 (v2c = soft directly — the saturated difference
+            with 0 is the identity on the valid LLR domain)."""
             cur = list(final_dom)
             for r, edges in enumerate(rows):
-                old_m1 = min1[r]
-                old_m2 = min2[r]
-                old_am = amin[r]
-                old_sb = signs[r]
-                old_sp = sprod[r]
+                if not first:
+                    old_m1 = min1[r]
+                    old_m2 = min2[r]
+                    old_am = amin[r]
+                    old_sb = signs[r]
+                    old_sp = sprod[r]
 
                 v2cs = []
                 new_m1 = jnp.full((b_tile, z), LLR_MAX, jnp.int32)
@@ -457,10 +452,14 @@ def _make_kernel_delta_es_bm(bg: BaseGraph, z: int, max_iterations: int,
                 for e, (c, s) in enumerate(edges):
                     delta = (cur[c] - s) % z
                     soft_chk = pltpu.roll(soft[c], delta, axis=1) if delta else soft[c]
-                    old_sign_e = jnp.bitwise_and(old_sb >> e, 1)
-                    old_mag = jnp.where(old_am == e, old_m2, old_m1)
-                    c2v_old = jnp.where((old_sp ^ old_sign_e) == 1, -old_mag, old_mag)
-                    v2c = _sat_sub(soft_chk, c2v_old)
+                    if first:
+                        v2c = soft_chk
+                    else:
+                        old_sign_e = jnp.bitwise_and(old_sb >> e, 1)
+                        old_mag = jnp.where(old_am == e, old_m2, old_m1)
+                        c2v_old = jnp.where((old_sp ^ old_sign_e) == 1,
+                                            -old_mag, old_mag)
+                        v2c = _sat_sub(soft_chk, c2v_old)
                     v2cs.append(v2c)
 
                     absv = jnp.abs(v2c)
@@ -489,6 +488,7 @@ def _make_kernel_delta_es_bm(bg: BaseGraph, z: int, max_iterations: int,
                 signs[r] = new_sb
                 sprod[r] = new_sp
 
+        def crc_and_snapshot(it):
             # Packed-int32 CRC over the systematic hard decisions.
             acc = jnp.zeros((b_tile, z), jnp.int32)
             for c in range(g.kb):
@@ -508,10 +508,23 @@ def _make_kernel_delta_es_bm(bg: BaseGraph, z: int, max_iterations: int,
                                  jnp.ones((b_tile, 1), jnp.int32),
                                  jnp.zeros((b_tile, 1), jnp.int32))
             done[...] = jnp.broadcast_to(done_new, (b_tile, z))
-            alldone = jnp.min(done_new).astype(jnp.int32)
-            return it + 1, alldone
+            return jnp.min(done_new).astype(jnp.int32)
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        # Peeled iteration 0 (no c2v reconstruction, no state zero-init —
+        # the first sweep writes every state slot before reading it).
+        sweep(True)
+        alldone0 = crc_and_snapshot(jnp.int32(0))
+
+        def cond(carry):
+            it, alldone = carry
+            return jnp.logical_and(it < max_iterations, alldone == 0)
+
+        def body(carry):
+            it, _ = carry
+            sweep(False)
+            return it + 1, crc_and_snapshot(it)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(1), alldone0))
 
         dmask = done[...]
         for c in range(g.kb):

@@ -163,3 +163,25 @@ def test_csi_part1_part2_two_phase():
     assert bool(np.asarray(out["tb_crc_ok"])[0]), "SCH failed with CSI multiplexed"
     # PuschUciProcessor's two-phase path returns the flat TB directly.
     np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_long_csi1_polar_encoded_on_device():
+    """K >= 12 UCI rides the UE-emulator slot program via the device-side
+    polar chain (CRC11 + allocate + butterfly encode + rate match) and the
+    receiver's polar decoder recovers it (closes the round-2 gap: long UCI
+    was only testable via synthetic LLRs)."""
+    cfg = dataclasses.replace(BASE, nof_csi_part1_bits=25)
+    rng = np.random.default_rng(9)
+    csi1 = rng.integers(0, 2, (2, 25)).astype(np.uint8)
+    out = _loopback(cfg, seed=8, noise=0.001, csi1_bits=csi1)
+    np.testing.assert_array_equal(np.asarray(out["csi1_bits"]), csi1)
+    assert np.asarray(out["csi1_metric"]).all()
+
+
+def test_long_ack_polar_roundtrip():
+    """40-bit HARQ-ACK: polar with CRC11, still multiplexed with the SCH."""
+    cfg = dataclasses.replace(BASE, nof_harq_ack_bits=40)
+    rng = np.random.default_rng(10)
+    ack = rng.integers(0, 2, (2, 40)).astype(np.uint8)
+    out = _loopback(cfg, seed=9, noise=0.001, ack_bits=ack)
+    np.testing.assert_array_equal(np.asarray(out["harq_ack_bits"]), ack)
