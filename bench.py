@@ -209,8 +209,8 @@ def main() -> None:
         print(json.dumps(result))
         return
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
-    rounds = int(os.environ.get("BENCH_ROUNDS", "30"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "24"))
     # Progressive attempts under subprocess watchdogs (the remote compiler can
     # wedge; a fresh process retry usually resolves it).
     attempts = [

@@ -16,7 +16,7 @@ from ..ops import prg as prg_mod
 from ..ops.crc import crc_device
 from ..ops.ldpc.encode import ldpc_encode
 from ..ops.ldpc import rate_matching as rm
-from ..ops.modulation import modulate
+from ..ops.modulation import modulate, modulate_planes
 from .sch_config import SchChainConfig
 
 
@@ -106,21 +106,70 @@ def sch_rate_match_indices(cfg: SchChainConfig, rv: int, g: int | None = None):
     )
 
 
-@functools.lru_cache(maxsize=None)
-def build_sch_codeword_tx_dyn(cfg: SchChainConfig, g: int | None = None):
-    """Like `build_sch_codeword_tx`, but the rate-match selection indices are
-    runtime inputs (one (E,) int32 array per equal-E group), so rv changes
-    never recompile.  Callers normalize value-only fields (rnti/n_id/rv) in
-    `cfg` before building so one program serves every UE."""
+def sch_k0_prime(cfg: SchChainConfig, rv: int) -> int:
+    """rv's circular-buffer start mapped into the FILLER-LESS buffer.
+
+    The TS 38.212 bit selection walks the circular buffer from k0 skipping
+    filler positions — identical to walking the buffer with filler removed
+    from position k0' (k0 is always z-aligned, outside the filler span)."""
     seg = cfg.segmentation
+    z = seg.lifting_size
+    n = seg.nof_cw_bits_per_cb
+    k0 = rm.k0_index(seg.base_graph, rv, n, z)
+    filler_start = seg.nof_bits_per_cb - 2 * z - seg.nof_filler_bits_per_cb
+    filler_end = seg.nof_bits_per_cb - 2 * z
+    assert not (filler_start < k0 < filler_end), "k0 inside filler span"
+    return k0 - (seg.nof_filler_bits_per_cb if k0 >= filler_end else 0)
+
+
+def sch_scramble_planes(cfg: SchChainConfig, rnti: int, n_id: int,
+                        g: int | None = None):
+    """Host: per-group bit-major scrambling planes (nj, Qm, E/Qm) uint8."""
+    import dataclasses
+
+    import numpy as np
+
+    qm = bits_per_symbol(cfg.modulation)
+    vcfg = dataclasses.replace(cfg, rnti=rnti, n_id=n_id)
+    scr = prg_mod.gold_sequence_bits(vcfg.scrambling_cinit(),
+                                     cfg.nof_codeword_bits)
+    out = []
+    off = 0
+    for e, js in sch_rate_match_groups(cfg, g):
+        nj = len(js)
+        blk = scr[off:off + nj * e].reshape(nj, e // qm, qm)
+        out.append(np.ascontiguousarray(blk.transpose(0, 2, 1)))
+        off += nj * e
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def build_sch_symbols_tx_dyn(cfg: SchChainConfig, g: int | None = None):
+    """Dynamic-value SCH symbol chain:
+    fn(tb_bits, scr_planes tuple, k0p int32 scalar) -> (B, G/Qm) complex.
+
+    The scrambling planes (rnti/n_id) and the circular-buffer start k0'
+    (rv) are device inputs, so one compiled program serves every UE and
+    every redundancy version.  Rate matching is GATHER-FREE: the bit
+    selection is a dynamic slice of the filler-less buffer tiled enough to
+    cover wrap/repetition, and the Section 5.4.2.2 interleave disappears
+    because each transmitted bit plane is a contiguous e-order slice
+    (`ops.modulation.modulate_planes`)."""
+    seg = cfg.segmentation
+    qm = bits_per_symbol(cfg.modulation)
     c, z, k = seg.nof_cb, seg.lifting_size, seg.nof_bits_per_cb
     kp = seg.nof_payload_bits_per_cb
     payload = kp - seg.cb_crc_bits
     groups = sch_rate_match_groups(cfg, g)
     tb_crc_name = "CRC24A" if seg.tb_crc_bits == 24 else "CRC16"
+    filler_start = k - 2 * z - seg.nof_filler_bits_per_cb
+    filler_end = k - 2 * z
+    n_prime = seg.nof_cw_bits_per_cb - seg.nof_filler_bits_per_cb
+    e_max = max(e for e, _ in groups)
+    reps = 1 + -(-e_max // n_prime)
 
     @jax.jit
-    def tx(tb_bits, rm_idx):
+    def tx(tb_bits, scr_planes, k0p):
         b = tb_bits.shape[0]
         tb_crc = crc_device(tb_bits, tb_crc_name)
         full = jnp.concatenate([tb_bits, tb_crc], axis=-1)
@@ -133,28 +182,19 @@ def build_sch_codeword_tx_dyn(cfg: SchChainConfig, g: int | None = None):
 
         cw = ldpc_encode(cbs.reshape(b * c, k), seg.base_graph, z)
         cw = cw.reshape(b, c, -1)[:, :, 2 * z:]
+        # Filler-less circular buffer, tiled to cover any (k0', E) window.
+        cw2 = jnp.concatenate([cw[:, :, :filler_start], cw[:, :, filler_end:]],
+                              axis=-1)
+        tiled = jnp.tile(cw2, (1, 1, reps))
         parts = []
         for gi, (e, js) in enumerate(groups):
             assert js == list(range(js[0], js[-1] + 1)), "E groups not contiguous"
-            sel = jnp.take(cw[:, js[0]:js[-1] + 1], rm_idx[gi], axis=-1)
-            parts.append(sel.reshape(b, len(js) * e))
+            sub = tiled[:, js[0]:js[-1] + 1]
+            sel = jax.lax.dynamic_slice_in_dim(sub, k0p, e, axis=-1)
+            planes = sel.reshape(b, len(js), qm, e // qm)
+            planes = planes ^ scr_planes[gi][None]
+            sym = modulate_planes(planes, cfg.modulation)  # (B, nj, e/qm)
+            parts.append(sym.reshape(b, len(js) * (e // qm)))
         return jnp.concatenate(parts, axis=-1)
-
-    return tx
-
-
-@functools.lru_cache(maxsize=None)
-def build_sch_symbols_tx_dyn(cfg: SchChainConfig):
-    """Dynamic-value SCH symbol chain: fn(tb_bits, scramble_bits (G,) uint8,
-    rm_idx tuple) -> (B, nof_data_re*L) complex symbols.
-
-    The scrambling sequence (rnti/n_id) and rate-match indices (rv) are
-    device inputs; the compiled program depends only on allocation shape."""
-    codeword_tx = build_sch_codeword_tx_dyn(cfg)
-
-    @jax.jit
-    def tx(tb_bits, scramble_bits, rm_idx):
-        codeword = codeword_tx(tb_bits, rm_idx) ^ scramble_bits[None, :]
-        return modulate(codeword, cfg.modulation)
 
     return tx

@@ -102,3 +102,32 @@ def modulate(bits, mod: Modulation):
         rot = jnp.where(jnp.arange(n) % 2 == 1, jnp.complex64(1j), jnp.complex64(1.0))
         sym = sym * rot
     return sym
+
+
+def modulate_planes(planes, mod: Modulation):
+    """Square-QAM mapping from BIT PLANES: planes (..., Qm, nsym) uint8 ->
+    complex64 (..., nsym).
+
+    The TS 38.212 rate-match interleaver f[i + j*Qm] = e[i*(E/Qm) + j] makes
+    bit plane i of the transmitted symbols a CONTIGUOUS slice of the e-order
+    stream, so a transmitter that keeps bits in e-order needs no interleave
+    permutation at all — this is the TX mirror of the receiver's bit-major
+    soft demap.
+    """
+    assert mod in _NORM, "plane modulation covers square QAM"
+    s = 1.0 - 2.0 * planes.astype(jnp.float32)  # (..., Qm, nsym)
+    if mod == Modulation.QPSK:
+        re, im = s[..., 0, :], s[..., 1, :]
+    elif mod == Modulation.QAM16:
+        re = s[..., 0, :] * (2.0 - s[..., 2, :])
+        im = s[..., 1, :] * (2.0 - s[..., 3, :])
+    elif mod == Modulation.QAM64:
+        re = s[..., 0, :] * (4.0 - s[..., 2, :] * (2.0 - s[..., 4, :]))
+        im = s[..., 1, :] * (4.0 - s[..., 3, :] * (2.0 - s[..., 5, :]))
+    else:  # QAM256
+        re = s[..., 0, :] * (8.0 - s[..., 2, :] * (4.0 - s[..., 4, :]
+                                                  * (2.0 - s[..., 6, :])))
+        im = s[..., 1, :] * (8.0 - s[..., 3, :] * (4.0 - s[..., 5, :]
+                                                  * (2.0 - s[..., 7, :])))
+    inv = np.float32(1.0 / np.sqrt(_NORM[mod]))
+    return jax.lax.complex(re * inv, im * inv)

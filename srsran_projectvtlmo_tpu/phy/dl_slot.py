@@ -30,7 +30,8 @@ import numpy as np
 
 from ..fapi.pdus import DlTtiRequest, PdschPdu, PdcchPdu
 from ..models.pdsch_tx import PdschTxConfig
-from ..models.sch_tx import build_sch_symbols_tx_dyn, sch_rate_match_indices
+from ..models.sch_tx import (
+    build_sch_symbols_tx_dyn, sch_k0_prime, sch_scramble_planes)
 from ..ops import ofdm as ofdm_mod
 from ..ops.precoding import layer_map, precode, identity_precoder
 from ..ran.pdcch_mapping import (
@@ -307,10 +308,8 @@ class DlSlotProgram:
         p = self.key.nof_tx_ports
         scr, rm_idx, ws = [], [], []
         for pdu, cfg in zip(pdus, self.pdsch_cfgs):
-            vcfg = dataclasses.replace(cfg, rnti=pdu.rnti, n_id=pdu.n_id)
-            scr.append(_scramble_bits(vcfg.scrambling_cinit(),
-                                      cfg.nof_codeword_bits))
-            rm_idx.append(_rm_indices(cfg, pdu.rv))
+            scr.append(_scramble_planes(cfg, pdu.rnti, pdu.n_id))
+            rm_idx.append(_k0_prime(cfg, pdu.rv))
             ws.append(jnp.asarray(_precoding_matrix(pdu, p)))
         cpdus = tuple(pdcch_pdus) if pdcch_pdus else self.key.pdcch
         pw = tuple(jnp.asarray(_port_vector(getattr(c, "precoding", None), p))
@@ -325,15 +324,13 @@ class DlSlotProgram:
 
 
 @functools.lru_cache(maxsize=512)
-def _scramble_bits(cinit: int, g: int):
-    from ..ops import prg as prg_mod
-
-    return jnp.asarray(prg_mod.gold_sequence_bits(cinit, g))
+def _scramble_planes(cfg, rnti: int, n_id: int):
+    return tuple(jnp.asarray(p) for p in sch_scramble_planes(cfg, rnti, n_id))
 
 
 @functools.lru_cache(maxsize=256)
-def _rm_indices(cfg, rv: int):
-    return sch_rate_match_indices(cfg, rv)
+def _k0_prime(cfg, rv: int):
+    return jnp.asarray(sch_k0_prime(cfg, rv), jnp.int32)
 
 
 @functools.lru_cache(maxsize=64)
