@@ -166,7 +166,13 @@ def build_sch_symbols_tx_dyn(cfg: SchChainConfig, g: int | None = None):
     filler_end = k - 2 * z
     n_prime = seg.nof_cw_bits_per_cb - seg.nof_filler_bits_per_cb
     e_max = max(e for e, _ in groups)
-    reps = 1 + -(-e_max // n_prime)
+    # Wrap margin: the largest (k0' + E) window over all redundancy versions
+    # may run past the buffer end by at most this much — appending just the
+    # margin (instead of tiling whole copies) keeps the slice target small.
+    max_k0p = max(sch_k0_prime(cfg, rv) for rv in range(4))
+    margin = max(0, max_k0p + e_max - n_prime)
+    full_wraps = margin // n_prime
+    margin_rem = margin % n_prime
 
     @jax.jit
     def tx(tb_bits, scr_planes, k0p):
@@ -182,10 +188,19 @@ def build_sch_symbols_tx_dyn(cfg: SchChainConfig, g: int | None = None):
 
         cw = ldpc_encode(cbs.reshape(b * c, k), seg.base_graph, z)
         cw = cw.reshape(b, c, -1)[:, :, 2 * z:]
-        # Filler-less circular buffer, tiled to cover any (k0', E) window.
-        cw2 = jnp.concatenate([cw[:, :, :filler_start], cw[:, :, filler_end:]],
-                              axis=-1)
-        tiled = jnp.tile(cw2, (1, 1, reps))
+        # Filler-less circular buffer with just enough wrap margin appended
+        # for the largest (k0', E) window — ONE concat, no whole-buffer tile.
+        pieces = [cw[:, :, :filler_start], cw[:, :, filler_end:]]
+        for _ in range(full_wraps):
+            pieces += [cw[:, :, :filler_start], cw[:, :, filler_end:]]
+        if margin_rem:
+            if margin_rem <= filler_start:
+                pieces.append(cw[:, :, :margin_rem])
+            else:
+                pieces += [cw[:, :, :filler_start],
+                           cw[:, :, filler_end:filler_end + margin_rem
+                              - filler_start]]
+        tiled = jnp.concatenate(pieces, axis=-1)
         parts = []
         for gi, (e, js) in enumerate(groups):
             assert js == list(range(js[0], js[-1] + 1)), "E groups not contiguous"

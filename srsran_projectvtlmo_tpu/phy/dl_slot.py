@@ -149,72 +149,56 @@ class DlSlotProgram:
         self.key = key
         self.cell = cell
         p = key.nof_tx_ports
-        nflat = 14 * cell.nof_subc
 
-        self._cursor = 1  # source position 0 = the zero RE
-        src_idx = np.zeros((p, nflat), np.int64)
-
-        def alloc(n: int) -> int:
-            start = self._cursor
-            self._cursor += n
-            return start
-
-        # --- PDSCH ----------------------------------------------------------
+        # --- PDSCH: contiguous symbol runs + DM-RS comb interleave ----------
         self.pdsch_cfgs = [_pdsch_cfg(pdu, cell) for pdu in key.pdsch]
         self.pdsch_tx = [build_sch_symbols_tx_dyn(cfg) for cfg in self.pdsch_cfgs]
+        self.pdsch_layout = []
         for pdu, cfg in zip(key.pdsch, self.pdsch_cfgs):
-            nsub = cfg.nof_subc
-            k0 = pdu.rb_start * 12
-            # Data REs: source layout [port, data_symbol, subc] contiguous.
-            nre = cfg.nof_data_re
-            start = alloc(p * nre)
-            for pi in range(p):
-                for di, s_rel in enumerate(cfg.data_symbols):
-                    sym = pdu.start_symbol + int(s_rel)
-                    flat0 = sym * cell.nof_subc + k0
-                    src_idx[pi, flat0:flat0 + nsub] = (
-                        start + pi * nre + di * nsub + np.arange(nsub))
-            # DM-RS: source layout [port, dmrs_symbol, comb(2), npil]; comb 0 =
-            # even subcarriers (CDM group 0), comb 1 = odd (CDM group 1). Both
-            # combs are always reserved ("2 CDM groups without data").
-            npil = 6 * cfg.nof_rb
-            ndm = len(cfg.dmrs_symbols)
-            start_d = alloc(p * ndm * 2 * npil)
-            for pi in range(p):
-                for mi, s_rel in enumerate(cfg.dmrs_symbols):
-                    sym = pdu.start_symbol + int(s_rel)
-                    for comb in range(2):
-                        flat = (sym * cell.nof_subc + k0
-                                + 2 * np.arange(npil) + comb)
-                        src_idx[pi, flat] = (
-                            start_d + ((pi * ndm + mi) * 2 + comb) * npil
-                            + np.arange(npil))
+            abs_data = [pdu.start_symbol + int(s) for s in cfg.data_symbols]
+            runs = []  # (abs_sym_start, count, offset into data-symbol axis)
+            start = prev = abs_data[0]
+            off0 = 0
+            for di, s in enumerate(abs_data[1:], 1):
+                if s != prev + 1:
+                    runs.append((start, prev - start + 1, off0))
+                    start = s
+                    off0 = di
+                prev = s
+            runs.append((start, prev - start + 1, off0))
+            self.pdsch_layout.append({
+                "k0": pdu.rb_start * 12,
+                "nsub": cfg.nof_subc,
+                "runs": runs,
+                "dmrs_abs": [pdu.start_symbol + int(s)
+                             for s in cfg.dmrs_symbols],
+            })
 
-        # --- PDCCH (all ports; per-port weights are runtime values) ---------
+        # --- PDCCH: per-candidate block span + local RE indices -------------
         self.pdcch_prbs: list[list[int]] = []
+        self.pdcch_layout = []
         for pdu in key.pdcch:
             prbs, data_idx, dmrs_idx = _pdcch_plan(pdu, cell)
             self.pdcch_prbs.append(prbs)
-            for pi in range(p):
-                sd = alloc(len(data_idx))
-                src_idx[pi, data_idx] = sd + np.arange(len(data_idx))
-                sp = alloc(len(dmrs_idx))
-                src_idx[pi, dmrs_idx] = sp + np.arange(len(dmrs_idx))
+            sp0 = min(prbs) * 12
+            sp1 = (max(prbs) + 1) * 12
+            span = sp1 - sp0
+            s0 = pdu.start_symbol
 
-        # --- SSB (all ports, slot symbols 0-3 of the block) -----------------
-        from . import pbch as pbch_mod
-        for b in range(key.nof_ssb):
-            k0 = key.ssb_k0[b]
-            n = 4 * pbch_mod.SSB_NSUBC
-            for pi in range(p):
-                st = alloc(n)
-                for sym in range(4):
-                    flat0 = sym * cell.nof_subc + k0
-                    src_idx[pi, flat0:flat0 + pbch_mod.SSB_NSUBC] = (
-                        st + sym * pbch_mod.SSB_NSUBC
-                        + np.arange(pbch_mod.SSB_NSUBC))
+            def local(flat):
+                sym = flat // cell.nof_subc
+                sub = flat % cell.nof_subc
+                return (sym - s0) * span + (sub - sp0)
 
-        # --- CSI-RS: full mapping-table rows, per-port CDM patterns ---------
+            self.pdcch_layout.append({
+                "s0": s0, "dur": pdu.duration, "sp0": sp0, "span": span,
+                "data_local": jnp.asarray(np.asarray(
+                    [local(f) for f in data_idx], np.int32)),
+                "dmrs_local": jnp.asarray(np.asarray(
+                    [local(f) for f in dmrs_idx], np.int32)),
+            })
+
+        # --- CSI-RS: per-port regular comb patterns -------------------------
         from ..ops.csi_rs import CsiRsConfig, csi_rs_pattern
         self.csi_layouts = []
         for pdu in key.csi_rs:
@@ -226,15 +210,21 @@ class DlSlotProgram:
             pat = csi_rs_pattern(cfgc)  # layout; values arrive per slot
             assert len(pat) <= p, \
                 f"CSI-RS row {pdu.row} needs {len(pat)} ports > cell's {p}"
-            self.csi_layouts.append(pat)
+            ports = []
             for port, (symbols, subc, _) in enumerate(pat):
-                for si, sym in enumerate(symbols):
-                    st = alloc(len(subc))
-                    flat = int(sym) * cell.nof_subc + subc
-                    src_idx[port, flat] = st + np.arange(len(subc))
+                rbs = np.unique(subc // 12)
+                n_off = len(subc) // len(rbs)
+                k_offs = (subc[:n_off] - rbs[0] * 12).tolist()
+                # Occupied RBs are contiguous (density 1/3) or stride 2 (.5).
+                stride = 1 if len(rbs) == 1 else int(rbs[1] - rbs[0])
+                assert np.all(np.diff(rbs) == stride), "irregular CSI-RS RBs"
+                ports.append({
+                    "symbols": [int(s) for s in symbols],
+                    "rb0": int(rbs[0]), "n_rb": len(rbs), "stride": stride,
+                    "k_offs": k_offs,
+                })
+            self.csi_layouts.append(ports)
 
-        self.nof_src = self._cursor
-        self.src_idx = jnp.asarray(src_idx.reshape(-1))
         self._compiled = jax.jit(self._assemble, static_argnums=(0,))
 
     def _dmrs_port_pilots(self, i: int, pil, w_pair):
@@ -266,30 +256,77 @@ class DlSlotProgram:
                   pdcch_dmrs, ssb_grids, csi_vals, pdsch_scr, pdsch_rm,
                   pdsch_w, pdcch_w, ssb_w):
         p = self.key.nof_tx_ports
-        parts = [jnp.zeros((1, 2), jnp.float32)]
+        s_carrier = self.cell.nof_subc
+        grid = jnp.zeros((p, 14, s_carrier, 2), jnp.float32)
+
+        # PDSCH: data runs land as contiguous dynamic-update-slices; DM-RS
+        # rows come from a comb interleave reshape — no RE gather anywhere.
         for i, cfg in enumerate(self.pdsch_cfgs):
+            lay = self.pdsch_layout[i]
             w = pdsch_w[i]
             syms = self.pdsch_tx[i](tb_bits[i][None], pdsch_scr[i],
                                     pdsch_rm[i])[0]  # (G,) complex
             sym_pair = jnp.stack([jnp.real(syms), jnp.imag(syms)], -1)
             layers = layer_map(jnp.moveaxis(sym_pair, -1, 0), cfg.nof_layers)
             layers = jnp.moveaxis(layers, 0, -1)  # (L, M, 2)
-            ports = precode(layers, w)  # (P, M, 2)
-            parts.append(ports.reshape(-1, 2))
-            parts.append(self._dmrs_port_pilots(i, pdsch_dmrs[i], w).reshape(-1, 2))
-        for i in range(len(self.key.pdcch)):
-            for pi in range(p):
-                parts.append(self._weighted(pdcch_w[i][pi], pdcch_syms[i]))
-                parts.append(self._weighted(pdcch_w[i][pi], pdcch_dmrs[i]))
+            ports = precode(layers, w)  # (P, nre, 2)
+            nd = len(cfg.data_symbols)
+            blocks = ports.reshape(p, nd, lay["nsub"], 2)
+            for (sym0, count, off) in lay["runs"]:
+                grid = jax.lax.dynamic_update_slice(
+                    grid, blocks[:, off:off + count], (0, sym0, lay["k0"], 0))
+            dm = self._dmrs_port_pilots(i, pdsch_dmrs[i], w)  # (P, ndm, 2, npil, 2)
+            rows = jnp.transpose(dm, (0, 1, 3, 2, 4)).reshape(
+                p, dm.shape[1], -1, 2)  # (P, ndm, 2*npil, 2) comb-interleaved
+            for mi, sym in enumerate(lay["dmrs_abs"]):
+                grid = jax.lax.dynamic_update_slice(
+                    grid, rows[:, mi:mi + 1], (0, sym, lay["k0"], 0))
+
+        # PDCCH: per-candidate block scatter (a few hundred REs) ADDED into
+        # the CORESET span so co-scheduled channels elsewhere survive.
+        for i, lay in enumerate(self.pdcch_layout):
+            n = lay["dur"] * lay["span"]
+            block = jnp.zeros((p, n, 2), jnp.float32)
+            w_syms = jnp.stack([self._weighted(pdcch_w[i][pi], pdcch_syms[i])
+                                for pi in range(p)])
+            w_dmrs = jnp.stack([self._weighted(pdcch_w[i][pi], pdcch_dmrs[i])
+                                for pi in range(p)])
+            block = block.at[:, lay["data_local"]].set(w_syms)
+            block = block.at[:, lay["dmrs_local"]].set(w_dmrs)
+            block = block.reshape(p, lay["dur"], lay["span"], 2)
+            grid = grid.at[:, lay["s0"]:lay["s0"] + lay["dur"],
+                           lay["sp0"]:lay["sp0"] + lay["span"]].add(block)
+
+        # SSB: contiguous 240-subcarrier block on symbols 0-3 per port.
         for b in range(self.key.nof_ssb):
-            for pi in range(p):
-                parts.append(
-                    self._weighted(ssb_w[b][pi], ssb_grids[b]).reshape(-1, 2))
-        for i in range(len(self.key.csi_rs)):
-            parts.append(csi_vals[i].reshape(-1, 2))
-        src = jnp.concatenate(parts, axis=0)
-        grid = jnp.take(src, self.src_idx, axis=0)
-        grid = grid.reshape(p, 14, self.cell.nof_subc, 2)
+            k0 = self.key.ssb_k0[b]
+            blk = jnp.stack([self._weighted(ssb_w[b][pi], ssb_grids[b])
+                             for pi in range(p)])  # (P, 4, 240, 2)
+            grid = grid.at[:, 0:4, k0:k0 + blk.shape[2]].add(blk)
+
+        # CSI-RS: comb patterns built with scalar-index column writes and RB
+        # reshapes; values arrive flat in (port, symbol, subc) order.
+        for i, ports_lay in enumerate(self.csi_layouts):
+            vals = csi_vals[i]
+            off = 0
+            for port, pl in enumerate(ports_lay):
+                n_rb, n_off = pl["n_rb"], len(pl["k_offs"])
+                for sym in pl["symbols"]:
+                    v = vals[off:off + n_rb * n_off].reshape(n_rb, n_off, 2)
+                    off += n_rb * n_off
+                    rb_block = jnp.zeros((n_rb, 12, 2), jnp.float32)
+                    for j, ko in enumerate(pl["k_offs"]):
+                        rb_block = rb_block.at[:, ko].set(v[:, j])
+                    if pl["stride"] == 1:
+                        row = rb_block.reshape(n_rb * 12, 2)
+                    else:
+                        # Density 0.5: zero RB between occupied RBs.
+                        z = jnp.zeros_like(rb_block)
+                        row = jnp.stack([rb_block, z], axis=1).reshape(
+                            n_rb * 2 * 12, 2)[: (n_rb * 2 - 1) * 12]
+                    grid = grid.at[port, sym,
+                                   pl["rb0"] * 12:pl["rb0"] * 12 + row.shape[0]
+                                   ].add(row)
         samples = ofdm_mod.ofdm_modulate(
             grid, self.cell.dft_size, self.cell.numerology, slot_in_sf)
         return grid, samples
