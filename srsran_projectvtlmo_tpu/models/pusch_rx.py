@@ -58,9 +58,11 @@ class PuschRxConfig(SchChainConfig):
     #: (reference: lib/phy/upper/equalization/equalize_zf_1xn.h).
     equalizer: str = "mmse"
     #: Store the demodulated resource grid as bfloat16 real pairs (the
-    #: reference's cbf16 grid, resource_grid_impl.h:41-51); estimation and
-    #: equalization still run in float32 on the extracted REs.
-    grid_bf16: bool = False
+    #: reference's cbf16 grid, resource_grid_impl.h:41-51, DEFAULT as there);
+    #: estimation and equalization still run in float32 on the extracted
+    #: REs.  EVM-bounded parity incl. the 4-port/2-layer north-star shape:
+    #: tests/test_bf16_grid.py.
+    grid_bf16: bool = True
     #: UCI payload bits multiplexed on PUSCH (TS 38.212 Section 6.2.7: <=2 ACK
     #: bits puncture the SCH, >2 and CSI are rate-matched around).
     nof_harq_ack_bits: int = 0

@@ -35,6 +35,16 @@ from .graphs import get_graph
 DEFAULT_B_TILE = 8
 
 
+
+def _tpu_roll_safe(z: int) -> bool:
+    """Mosaic lane rotations are only correct when the lane count is a whole
+    number of 128-lane vregs: at z in {40, 64, 96, 104, 208, ...} the
+    COMPILED kernels silently corrupt the rotation (verified against the XLA
+    decoder on hardware; interpreter mode is fine).  Wrappers fall back to
+    the bit-exact XLA program for other lifting sizes."""
+    return z % 128 == 0
+
+
 def _sat_sub(a, b):
     """LLR saturated difference (int32 in/out), reference semantics."""
     plain = jnp.clip(a - b, -LLR_MAX, LLR_MAX)
@@ -655,6 +665,13 @@ def ldpc_decode_pallas_es(
     from ..crc import POLYS
 
     order, _ = POLYS[crc_name]
+    dev0 = jax.devices()[0]
+    if (dev0.platform == "tpu" or "TPU" in str(dev0)) and not _tpu_roll_safe(z):
+        from .decode import ldpc_decode_es as _xla_es
+
+        return _xla_es(llrs, bg, z, crc_name, nof_crc_covered_bits,
+                       nof_iterations=max_iterations,
+                       scaling_factor=scaling_factor)
     kernel, g, final_dom = _make_kernel_delta_es(
         bg, z, max_iterations, float(scaling_factor), b_tile, order)
     mask = _packed_crc_mask(crc_name, nof_crc_covered_bits, g.kb, z, final_dom)
@@ -725,6 +742,12 @@ def ldpc_decode_pallas(
     Returns (hard (B, K) uint8, soft_info (B, K) int8), identical to
     ops.ldpc.decode.ldpc_decode.
     """
+    dev0 = jax.devices()[0]
+    if (dev0.platform == "tpu" or "TPU" in str(dev0)) and not _tpu_roll_safe(z):
+        from .decode import ldpc_decode as _xla_decode
+
+        return _xla_decode(llrs, bg, z, nof_iterations=nof_iterations,
+                           scaling_factor=scaling_factor)
     kernel, g = _make_kernel(bg, z, nof_iterations, float(scaling_factor), b_tile)
     b = llrs.shape[0]
     pad = (-b) % b_tile
@@ -775,6 +798,12 @@ def ldpc_decode_pallas_v3(
 ):
     """Delta-roll variant of the unrolled kernel (half the lane rotations);
     bit-exact vs ldpc_decode_pallas / ops.ldpc.decode.ldpc_decode."""
+    dev0 = jax.devices()[0]
+    if (dev0.platform == "tpu" or "TPU" in str(dev0)) and not _tpu_roll_safe(z):
+        from .decode import ldpc_decode as _xla_decode
+
+        return _xla_decode(llrs, bg, z, nof_iterations=nof_iterations,
+                           scaling_factor=scaling_factor)
     kernel, g = _make_kernel_delta(bg, z, nof_iterations, float(scaling_factor),
                                    b_tile)
     b = llrs.shape[0]

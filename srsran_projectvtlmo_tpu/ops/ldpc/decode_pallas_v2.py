@@ -148,6 +148,14 @@ def ldpc_decode_pallas_v2(
     b_tile: int = DEFAULT_B_TILE,
 ):
     """Drop-in equivalent of ldpc_decode / ldpc_decode_pallas."""
+    dev0 = jax.devices()[0]
+    if (dev0.platform == "tpu" or "TPU" in str(dev0)) and z % 128 != 0:
+        # Mosaic lane rotations are only correct for whole-vreg lane counts
+        # (see decode_pallas._tpu_roll_safe); use the bit-exact XLA program.
+        from .decode import ldpc_decode as _xla_decode
+
+        return _xla_decode(llrs, bg, z, nof_iterations=nof_iterations,
+                           scaling_factor=scaling_factor)
     kernel, g, cols, shifts = _make_kernel(bg, z, nof_iterations, float(scaling_factor), b_tile)
     b = llrs.shape[0]
     pad = (-b) % b_tile
