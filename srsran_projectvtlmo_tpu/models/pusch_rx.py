@@ -314,10 +314,11 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                 if hopping:
                     y_k = data[:, :, sym_off:sym_off + data_hop_count[k]]
                     eq_hops.append(apply_weights_ports_first(w_k, y_k))
+                    nv_hops.append(jnp.broadcast_to(
+                        nv_k[:, None], (b, data_hop_count[k], cfg.nof_subc, 1)))
                 else:
                     w_full = w_k  # applied after CFO is known (fused rotation)
-                nv_hops.append(jnp.broadcast_to(
-                    nv_k[:, None], (b, data_hop_count[k], cfg.nof_subc, 1)))
+                    nv_struct = nv_k[:, None]  # (B, 1, S, 1): lazy over T
                 sym_off += data_hop_count[k]
                 noise_hops.append(est["noise_var"])  # (P, B)
                 ta_hops.append(est["time_alignment_s"])
@@ -325,7 +326,8 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                     cfo_hops.append(est["cfo_hz"])
             if hopping:
                 eq = jnp.concatenate(eq_hops, axis=1)
-            eq_nvar = nv_hops[0] if nof_hops == 1 else jnp.concatenate(nv_hops, axis=1)
+                eq_nvar = (nv_hops[0] if nof_hops == 1
+                           else jnp.concatenate(nv_hops, axis=1))
             noise = sum(noise_hops) / nof_hops
             ta = sum(ta_hops) / nof_hops
             cfo_b = (jnp.mean(sum(cfo_hops) / len(cfo_hops), axis=0)
@@ -368,8 +370,10 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             h_sub = jnp.transpose(ce, (2, 3, 1, 0, 4))  # (B, S, P, L, 2)
             nvar_port = jnp.transpose(noise, (1, 0))  # (B, P)
             w_full, nv = weights_fn(h_sub, nvar_port)  # (B,S,L,P,2), (B,S,L)
-            eq_nvar = jnp.broadcast_to(
-                nv[:, None], (b, len(data_syms), cfg.nof_subc, nlayers))
+            # Slot-constant noise broadcasts LAZILY over the symbol axis —
+            # materializing the (B, T, S, L) broadcast was ~2x 1M estimated
+            # cycles in the round-3 profile.
+            nv_struct = nv[:, None]  # (B, 1, S, L)
             cfo_b = (jnp.mean(est["cfo_hz"], axis=(0, 1))
                      if (cfg.compensate_cfo and len(dmrs_epochs) >= 2) else None)
 
@@ -390,9 +394,24 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             er, ei = eq[..., 0], eq[..., 1]
             eq = jnp.stack([er * cr + ei * ci, ei * cr - er * ci], axis=-1)
 
-        # Layer demap: d(L*i + l) = x_l(i), REs symbol-major.
-        eq = eq.reshape(b, nre * nlayers, 2)
-        eq_nvar = eq_nvar.reshape(b, nre * nlayers)
+        # Layer demap: d(L*i + l) = x_l(i), REs symbol-major.  Non-hopping
+        # paths keep eq in its (B, T, S, L, 2) structure through the demap so
+        # the slot-constant noise variance broadcasts lazily; the flat
+        # (B, nre*L) noise is only materialized where a gather-indexed
+        # consumer (UCI placement) needs it.
+        eq_struct = eq
+        eq = eq_struct.reshape(b, nre * nlayers, 2)
+        if hopping:
+            eq_nvar = eq_nvar.reshape(b, nre * nlayers)
+        else:
+            eq_nvar = None  # built on demand (UCI path)
+
+        def eq_nvar_flat():
+            if eq_nvar is not None:
+                return eq_nvar
+            return jnp.broadcast_to(
+                nv_struct, (b, len(data_syms), cfg.nof_subc, nlayers)
+            ).reshape(b, nre * nlayers)
 
         # Batch codeblocks with equal rate-match size into one dematch
         # (typically <= 2 groups): CBs are a batch axis, not a loop.  The
@@ -411,7 +430,10 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             # demap emits per-bit planes (B, Qm, nre*L), which IS the
             # rate-dematcher's deinterleaved order — the Section 5.4.2.2
             # deinterleave and the SCH gather both vanish.
-            llr_bm = soft_demap(eq, eq_nvar, cfg.modulation, bit_major=True)
+            # Flat RE axis for the planes: int8 arrays need a large minor
+            # dimension (a structured (B,T,S,L) int8 layout relayouts badly).
+            llr_bm = soft_demap(eq, eq_nvar_flat(), cfg.modulation,
+                                bit_major=True)
             if cfg.dynamic_params:
                 signs_bm = jnp.transpose(
                     dyn_signs.reshape(b, nre * nlayers, qm), (0, 2, 1))
@@ -433,7 +455,7 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                     x4, seg.base_graph, z, seg.nof_filler_bits_per_cb,
                     cfg.rv, e_val, qm))
         else:
-            llr = soft_demap(eq, eq_nvar, cfg.modulation)  # (B, nre*L*qm) int8
+            llr = soft_demap(eq, eq_nvar_flat(), cfg.modulation)  # (B, nre*L*qm) int8
 
             if cfg.dynamic_params:
                 llr = llr.astype(jnp.int32) * dyn_signs.astype(jnp.int32)
@@ -530,7 +552,11 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         tb_ok = crc_check_device_cbs(payload3, crc_name,
                                      cfg.tbs + seg.tb_crc_bits)
 
-        snr = jnp.mean(1.0 / jnp.maximum(eq_nvar, 1e-9), axis=-1)
+        if eq_nvar is not None:
+            snr = jnp.mean(1.0 / jnp.maximum(eq_nvar, 1e-9), axis=-1)
+        else:
+            snr = jnp.mean(1.0 / jnp.maximum(nv_struct[:, 0], 1e-9),
+                           axis=(-1, -2))
         snr_db = 10.0 * jnp.log10(jnp.maximum(snr, 1e-9))
 
         # channel_state_information: EVM over the equalized symbols
