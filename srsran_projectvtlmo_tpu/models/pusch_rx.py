@@ -78,6 +78,10 @@ class PuschRxConfig(SchChainConfig):
     #: channel estimates (reference: port_channel_estimator_average_impl.cpp
     #: :245-253 compensate_cfo). Needs >= 2 DM-RS symbols to engage.
     compensate_cfo: bool = True
+    #: Emit the dematched soft bits ("harq_soft") for HARQ-buffer storage
+    #: (the reference always writes its rx_buffer softbits; callers that
+    #: never retransmit can drop the (B, C, N) output materialization).
+    emit_harq_soft: bool = True
     #: Per-batch-element cell parameters as *inputs*: the DM-RS reference and
     #: descrambling signs become runtime arrays instead of baked constants, so
     #: ONE compiled program serves many cells with different rnti/n_id/slot
@@ -495,9 +499,17 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                 parts.append(rm.rate_dematch(cb_llr, seg.base_graph, z,
                                              seg.nof_filler_bits_per_cb, cfg.rv,
                                              e_val, qm))
-        soft = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        # HARQ combining per equal-E group: the full (B, C, N) soft buffer is
+        # only concatenated when a caller will store it (emit_harq_soft) —
+        # the decoder itself runs per group, straight off each group's
+        # dematch output.
+        cb_ranges = [(js[0], js[-1] + 1) for _, js in groups.items()]
         if harq_buffer is not None:
-            soft = rm.harq_combine(harq_buffer, soft)
+            parts = [rm.harq_combine(harq_buffer[:, a:bnd], part)
+                     for (a, bnd), part in zip(cb_ranges, parts)]
+        soft = (None if not cfg.emit_harq_soft else
+                (parts[0] if len(parts) == 1
+                 else jnp.concatenate(parts, axis=1)))
 
         kp = seg.nof_payload_bits_per_cb
         if cfg.ldpc_early_stop:
@@ -508,31 +520,44 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             if cfg.use_pallas_decoder:
                 from ..ops.ldpc.decode_pallas import ldpc_decode_pallas_es_bm
 
-                hard, _, ok_flat, it_flat = ldpc_decode_pallas_es_bm(
-                    soft.reshape(b * c, -1), seg.base_graph, z, crc_cb, kp,
-                    cfg.nof_ldpc_iterations)
+                dec = functools.partial(
+                    ldpc_decode_pallas_es_bm, bg=seg.base_graph, z=z,
+                    crc_name=crc_cb, nof_crc_covered_bits=kp,
+                    max_iterations=cfg.nof_ldpc_iterations)
             else:
                 from ..ops.ldpc.decode import ldpc_decode_es
 
-                hard, _, ok_flat, it_flat = ldpc_decode_es(
-                    soft.reshape(b * c, -1), seg.base_graph, z, crc_cb, kp,
-                    nof_iterations=cfg.nof_ldpc_iterations)
-            cb_ok = ok_flat.reshape(b, c)
-            ldpc_iters = it_flat.reshape(b, c)
+                def dec(llr_flat):
+                    return ldpc_decode_es(
+                        llr_flat, seg.base_graph, z, crc_cb, kp,
+                        nof_iterations=cfg.nof_ldpc_iterations)
+            hards, oks, its = [], [], []
+            for part in parts:
+                cg = part.shape[1]
+                h_g, _, ok_g, it_g = dec(part.reshape(b * cg, -1))
+                hards.append(h_g.reshape(b, cg, -1))
+                oks.append(ok_g.reshape(b, cg))
+                its.append(it_g.reshape(b, cg))
+            hard = hards[0] if len(hards) == 1 else jnp.concatenate(hards, 1)
+            cb_ok = oks[0] if len(oks) == 1 else jnp.concatenate(oks, 1)
+            ldpc_iters = its[0] if len(its) == 1 else jnp.concatenate(its, 1)
         else:
             if cfg.use_pallas_decoder:
                 from .decode_select import decode_fn
 
-                hard, _ = decode_fn(True)(soft.reshape(b * c, -1), seg.base_graph,
-                                          z, cfg.nof_ldpc_iterations)
+                dec2 = lambda x: decode_fn(True)(x, seg.base_graph, z,
+                                                 cfg.nof_ldpc_iterations)[0]
             else:
-                hard, _ = ldpc_decode(
-                    soft.reshape(b * c, -1), seg.base_graph, z,
-                    nof_iterations=cfg.nof_ldpc_iterations,
-                )
+                dec2 = lambda x: ldpc_decode(
+                    x, seg.base_graph, z,
+                    nof_iterations=cfg.nof_ldpc_iterations)[0]
+            hards = []
+            for part in parts:
+                cg = part.shape[1]
+                hards.append(dec2(part.reshape(b * cg, -1)).reshape(b, cg, -1))
+            hard = hards[0] if len(hards) == 1 else jnp.concatenate(hards, 1)
             cb_ok = None
             ldpc_iters = jnp.full((b, c), cfg.nof_ldpc_iterations, jnp.int32)
-        hard = hard.reshape(b, c, -1)
 
         payload_bits = hard[:, :, :kp]
         if seg.cb_crc_bits:
