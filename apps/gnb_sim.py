@@ -81,12 +81,21 @@ def main() -> int:
     if args.config:
         from srsran_projectvtlmo_tpu.utils.config import load_config
 
-        cell = load_config(args.config).cells[0]
+        gcfg = load_config(args.config)
+        cell = gcfg.cells[0]
+        expert = gcfg.expert_phy
     else:
+        from srsran_projectvtlmo_tpu.phy.upper_phy import ExpertPhyConfig
+
         cell = CellConfig(nof_rb=args.nof_rb, dft_size=args.dft, numerology=1)
+        expert = ExpertPhyConfig()
+    import logging
+
+    logging.basicConfig(
+        level=getattr(logging, expert.log_level.upper(), logging.WARNING))
 
     mod = {m.value: m for m in Modulation}[args.mcs_mod]
-    phy = UpperPhy(cell)
+    phy = UpperPhy(cell, expert)
     sink = FileIqSink(args.iq_out) if args.iq_out else None
 
     pusch_rb = args.pusch_rb if args.pusch_rb else min(16, cell.nof_rb)
@@ -218,7 +227,19 @@ def run_northstar(args) -> int:
 
     cell = CellConfig(nof_rb=273, dft_size=4096, numerology=1,
                       nof_tx_ports=4, nof_rx_ports=4, phys_cell_id=1)
-    phy = UpperPhy(cell)
+    if args.config:
+        from srsran_projectvtlmo_tpu.utils.config import load_config
+
+        expert = load_config(args.config).expert_phy
+    else:
+        from srsran_projectvtlmo_tpu.phy.upper_phy import ExpertPhyConfig
+
+        expert = ExpertPhyConfig()
+    import logging
+
+    logging.basicConfig(
+        level=getattr(logging, expert.log_level.upper(), logging.WARNING))
+    phy = UpperPhy(cell, expert)
     rng = np.random.default_rng(0)
 
     # --- DL: full-band 2-layer precoded PDSCH + PDCCH + CSI-RS (+SSB @0) ----
@@ -257,7 +278,7 @@ def run_northstar(args) -> int:
                          zero_correlation_zone=1)
 
     err = UpperPhyErrorHandler(slot_duration_s=0.5e-3)
-    pipeline = SlotPipeline(err, max_proc_delay_slots=2)
+    pipeline = SlotPipeline(err, max_proc_delay_slots=expert.max_proc_delay_slots)
     sent_dl = []
 
     crc_ok = 0

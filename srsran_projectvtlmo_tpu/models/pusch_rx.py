@@ -47,8 +47,10 @@ class PuschRxConfig(SchChainConfig):
     slot: int = 0
     nof_ldpc_iterations: int = 6
     #: Use the Pallas TPU kernel for the LDPC decoder (bit-exact vs the XLA
-    #: path; substantially faster on real hardware).
-    use_pallas_decoder: bool = False
+    #: path; substantially faster on real hardware).  None = auto: True on
+    #: TPU, False elsewhere (the reference's impl selection "auto",
+    #: channel_coding_factories.cpp:103-110).
+    use_pallas_decoder: bool | None = None
     #: Stop LDPC iterations per codeblock once its CRC passes (bit-exact with
     #: the reference's per-iteration CRC stop,
     #: lib/phy/upper/channel_coding/ldpc/ldpc_decoder_impl.cpp:126-134);
@@ -166,6 +168,23 @@ class PuschRxConfig(SchChainConfig):
         ), info
 
 
+@functools.lru_cache(maxsize=None)
+def cached_demux_plan(cfg: "PuschRxConfig", nof_csi_part2_bits: int | None = None):
+    """Per-config cache of the Section 6.2.7 placement plan: the plan is
+    shape-only (rnti/n_id-independent), so dispatch paths computing per-UE
+    placeholder fix signs reuse it across the whole UE churn."""
+    return cfg.demux_plan(nof_csi_part2_bits)
+
+
+def _resolve_use_pallas(flag: bool | None) -> bool:
+    """Decoder impl selection "auto": the Pallas kernel on TPU, the XLA
+    program elsewhere (interpret-mode Pallas is test-only)."""
+    if flag is not None:
+        return flag
+    dev0 = jax.devices()[0]
+    return dev0.platform == "tpu" or "TPU" in str(dev0)
+
+
 def flatten_tb_bits(tb_bits_cb, tbs: int):
     """(B, C, Kpay) per-codeblock payload bits -> (B, tbs) TB bits.
 
@@ -213,9 +232,12 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         assert cfg.nof_layers == 1, "frequency hopping supported for 1 layer"
     if cfg.dynamic_params:
         assert not hopping, "dynamic_params excludes intra-slot hopping"
-        assert not (cfg.nof_harq_ack_bits or cfg.nof_csi_part1_bits
-                    or cfg.nof_csi_part2_bits), \
-            "dynamic_params excludes UCI-on-PUSCH (static placement plans)"
+        # UCI-on-PUSCH is dynamic-compatible: the Section 6.2.7 placement
+        # plan depends only on SHAPE (payload sizes, allocation); the
+        # rnti/n_id-derived values (descrambling signs, placeholder fix
+        # signs) arrive as runtime inputs, so per-UE churn with ACK/CSI on
+        # PUSCH reuses one compiled program
+        # (reference analog: fapi_to_phy_translator.cpp:290-351).
 
     def _hop_of(sym_abs: int) -> int:
         return 1 if hopping and sym_abs >= cfg.hop_symbol else 0
@@ -272,7 +294,8 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     weights_fn = {"mmse": mmse_weights, "zf": zf_weights}[cfg.equalizer]
 
     @jax.jit
-    def rx(grid, harq_buffer=None, ref_dmrs=None, dyn_signs=None):
+    def rx(grid, harq_buffer=None, ref_dmrs=None, dyn_signs=None,
+           dyn_uci_fix=None):
         if cfg.dynamic_params:
             assert ref_dmrs is not None and dyn_signs is not None, \
                 "dynamic_params programs take (grid, harq, ref_dmrs, dyn_signs)"
@@ -467,9 +490,20 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                 llr = llr.astype(jnp.int32) * jnp.asarray(descr_signs)[None, :]
             llr = jnp.clip(llr, -127, 127).astype(jnp.int8)
 
+            # Placeholder fix signs: rnti/n_id-derived, so runtime inputs in
+            # dynamic mode ((B, G_field) each) and baked constants otherwise.
+            if cfg.dynamic_params and (cfg.nof_harq_ack_bits
+                                       or cfg.nof_csi_part1_bits
+                                       or cfg.nof_csi_part2_bits):
+                assert dyn_uci_fix is not None, \
+                    "dynamic_params with UCI takes dyn_uci_fix=(ack, csi1, csi2)"
+                d_ack, d_csi1, d_csi2 = dyn_uci_fix
+            else:
+                d_ack = d_csi1 = d_csi2 = None
             if cfg.nof_harq_ack_bits:
                 ack_llr = llr[:, jnp.asarray(plan.ack_bit_idx)].astype(jnp.int32)
-                ack_llr = ack_llr * jnp.asarray(ack_fix, jnp.int32)
+                ack_llr = ack_llr * (d_ack.astype(jnp.int32) if d_ack is not None
+                                     else jnp.asarray(ack_fix, jnp.int32))
                 ack_bits, ack_metric = decode_uci_field(ack_llr, cfg.nof_harq_ack_bits, qm)
             else:
                 ack_bits = jnp.zeros((b, 0), jnp.uint8)
@@ -481,12 +515,14 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                 llr = llr.at[:, jnp.asarray(plan.punct_bit_idx)].set(0)
             if cfg.nof_csi_part1_bits:
                 csi1_llr = llr[:, jnp.asarray(plan.csi1_bit_idx)].astype(jnp.int32)
-                csi1_llr = csi1_llr * jnp.asarray(csi1_fix, jnp.int32)
+                csi1_llr = csi1_llr * (d_csi1.astype(jnp.int32) if d_csi1 is not None
+                                       else jnp.asarray(csi1_fix, jnp.int32))
                 uci_out["csi1_bits"], uci_out["csi1_metric"] = decode_uci_field(
                     csi1_llr, cfg.nof_csi_part1_bits, qm)
             if cfg.nof_csi_part2_bits:
                 csi2_llr = llr[:, jnp.asarray(plan.csi2_bit_idx)].astype(jnp.int32)
-                csi2_llr = csi2_llr * jnp.asarray(csi2_fix, jnp.int32)
+                csi2_llr = csi2_llr * (d_csi2.astype(jnp.int32) if d_csi2 is not None
+                                       else jnp.asarray(csi2_fix, jnp.int32))
                 uci_out["csi2_bits"], uci_out["csi2_metric"] = decode_uci_field(
                     csi2_llr, cfg.nof_csi_part2_bits, qm)
             sch_llr = llr[:, jnp.asarray(plan.sch_bit_idx)]
@@ -517,7 +553,7 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             # verdict doubles as the CB CRC check).
             crc_cb = ("CRC24B" if seg.cb_crc_bits
                       else ("CRC24A" if seg.tb_crc_bits == 24 else "CRC16"))
-            if cfg.use_pallas_decoder:
+            if _resolve_use_pallas(cfg.use_pallas_decoder):
                 from ..ops.ldpc.decode_pallas import ldpc_decode_pallas_es_bm
 
                 dec = functools.partial(
@@ -542,7 +578,7 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             cb_ok = oks[0] if len(oks) == 1 else jnp.concatenate(oks, 1)
             ldpc_iters = its[0] if len(its) == 1 else jnp.concatenate(its, 1)
         else:
-            if cfg.use_pallas_decoder:
+            if _resolve_use_pallas(cfg.use_pallas_decoder):
                 from .decode_select import decode_fn
 
                 dec2 = lambda x: decode_fn(True)(x, seg.base_graph, z,

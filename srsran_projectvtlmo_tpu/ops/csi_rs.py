@@ -24,7 +24,7 @@ ROW_PORTS = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4, 6: 8, 7: 8, 8: 8, 9: 12, 10: 12,
              11: 16, 12: 16}
 #: CDM type per row: "no", "fd2" (fd-CDM2) or "cdm4" (CDM4-FD2-TD2).
 ROW_CDM = {1: "no", 2: "no", 3: "fd2", 4: "fd2", 5: "fd2", 6: "fd2",
-           7: "fd2", 8: "cdm4", 9: "fd2", 10: "cdm4", 11: "cdm4", 12: "cdm4"}
+           7: "fd2", 8: "cdm4", 9: "fd2", 10: "cdm4", 11: "fd2", 12: "cdm4"}
 _CDM_SIZE = {"no": 1, "fd2": 2, "cdm4": 4}
 #: Number of k references each row consumes.
 ROW_NOF_KREF = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 4, 7: 2, 8: 2, 9: 6, 10: 3,

@@ -34,6 +34,11 @@ from .graphs import get_graph
 
 DEFAULT_B_TILE = 8
 
+#: Trace-time invocation counters (per kernel family): incremented when a jit
+#: trace actually embeds the Pallas kernel, so tests can assert the
+#: production orchestration selected the Pallas path (not the XLA fallback).
+TRACE_STATS = {"es_bm": 0, "packed": 0}
+
 
 
 def _tpu_roll_safe(z: int) -> bool:
@@ -547,6 +552,285 @@ def _make_kernel_delta_es_bm(bg: BaseGraph, z: int, max_iterations: int,
     return kernel, g, tuple(final_dom)
 
 
+@functools.lru_cache(maxsize=None)
+def _pack_plan(z: int) -> tuple[int, int]:
+    """(zp, kpack) physical lane layout for lifting size z.
+
+    Mosaic lane rotations are only correct on whole numbers of 128-lane
+    vregs, so the kernel state always spans zp % 128 == 0 lanes.  For
+    z % 128 != 0 the lane row packs `kpack` codeblocks (contiguous z-wide
+    blocks at offsets k*z) and every cyclic rotation becomes two static
+    rolls + a lane select (`_make_block_roller`) — the TPU analog of the
+    reference AVX512 decoder's node padding to 64-byte lanes
+    (reference: lib/phy/upper/channel_coding/ldpc/ldpc_decoder_avx512.cpp:72-78).
+    kpack maximizes lane utilization K*z/zp over zp in {128, 256, 384},
+    capped at 8 (per-block CRC reductions scale with K)."""
+    if z % 128 == 0:
+        return z, 1
+    best = None
+    for zp in (128, 256, 384):
+        k = min(zp // z, 8)
+        if k == 0:
+            continue
+        util = k * z / zp
+        if best is None or util > best[0] + 1e-9:
+            best = (util, zp, k)
+    _, zp, k = best
+    return zp, k
+
+
+def _make_block_roller(z: int, zp: int, lane_mod_ref):
+    """Block-cyclic lane rotation: rotate each contiguous z-wide block of a
+    (b, zp) int32 array by a static shift d, independently per block.
+
+    out[k*z + j] = x[k*z + (j - d) mod z].  Two global static rolls + a
+    select: roll(x, d) is correct for j >= d; roll(x, zp - z + d) reads
+    x[i + z - d], correct for j < d.  Lanes >= K*z are don't-care."""
+
+    def roll(x, d):
+        d = d % z
+        if d == 0:
+            return x
+        a = pltpu.roll(x, d, axis=1)
+        b = pltpu.roll(x, (zp - z + d) % zp, axis=1)
+        return jnp.where(lane_mod_ref < d, b, a)
+
+    return roll
+
+
+def _make_kernel_packed_es_bm(bg: BaseGraph, z: int, zp: int, kpack: int,
+                              max_iterations: int, scaling_factor: float,
+                              b_tile: int, crc_order: int):
+    """Batch-major early-stop kernel for z % 128 != 0: identical arithmetic
+    to `_make_kernel_delta_es_bm` (bit-exact) on a (b_tile, zp) lane layout
+    that packs `kpack` codeblocks per lane row (see `_pack_plan`).  The
+    CRC verdict, early-stop bookkeeping and output snapshots are per block
+    (lane-disjoint selects)."""
+    g, rows = _row_edges(bg, z)
+    nv, m = g.n_full, g.m
+
+    final_dom = [0] * nv
+    for edges in rows:
+        for c, s in edges:
+            final_dom[c] = s
+
+    def kernel(llr_ref, mask_ref, lane_ref, out_ref, ok_ref, it_ref,
+               soft, min1, min2, amin, signs, sprod, out_soft, done, itcnt):
+        lane_mod = lane_ref[0]   # (zp,) lane % z
+        lane_blk = lane_ref[1]   # (zp,) lane // z  (>= kpack in pad lanes)
+        rollb = _make_block_roller(z, zp, lane_mod)
+
+        for c in range(nv):
+            if c < 2:
+                soft[c] = jnp.zeros((b_tile, zp), jnp.int32)
+            else:
+                # Pack kpack codeblocks onto the lane row: block k's data
+                # arrives in lanes [0, z) of sub-batch k and moves to
+                # [k*z, (k+1)*z) via a global roll.
+                acc = None
+                for k in range(kpack):
+                    xk = llr_ref[:, k, c - 2, :].astype(jnp.int32)
+                    rk = pltpu.roll(xk, (k * z) % zp, axis=1) if k else xk
+                    acc = rk if acc is None else jnp.where(lane_blk == k, rk, acc)
+                soft[c] = rollb(acc, (z - final_dom[c]) % z)
+        out_soft[...] = jnp.zeros((g.kb, b_tile, zp), jnp.int32)
+        # Pad lanes (>= kpack*z) start done so they never gate the stop.
+        done[...] = jnp.broadcast_to(
+            (lane_blk >= kpack).astype(jnp.int32)[None], (b_tile, zp))
+        itcnt[...] = jnp.full((b_tile, zp), max_iterations, jnp.int32)
+
+        def sweep(first: bool):
+            cur = list(final_dom)
+            for r, edges in enumerate(rows):
+                if not first:
+                    old_m1 = min1[r]
+                    old_m2 = min2[r]
+                    old_am = amin[r]
+                    old_sb = signs[r]
+                    old_sp = sprod[r]
+
+                v2cs = []
+                new_m1 = jnp.full((b_tile, zp), LLR_MAX, jnp.int32)
+                new_m2 = jnp.full((b_tile, zp), LLR_MAX, jnp.int32)
+                new_am = jnp.zeros((b_tile, zp), jnp.int32)
+                new_sp = jnp.zeros((b_tile, zp), jnp.int32)
+                new_sb = jnp.zeros((b_tile, zp), jnp.int32)
+                for e, (c, s) in enumerate(edges):
+                    delta = (cur[c] - s) % z
+                    soft_chk = rollb(soft[c], delta)
+                    if first:
+                        v2c = soft_chk
+                    else:
+                        old_sign_e = jnp.bitwise_and(old_sb >> e, 1)
+                        old_mag = jnp.where(old_am == e, old_m2, old_m1)
+                        c2v_old = jnp.where((old_sp ^ old_sign_e) == 1,
+                                            -old_mag, old_mag)
+                        v2c = _sat_sub(soft_chk, c2v_old)
+                    v2cs.append(v2c)
+
+                    absv = jnp.abs(v2c)
+                    sign = (v2c < 0).astype(jnp.int32)
+                    is_min = absv < new_m1
+                    new_m2 = jnp.where(is_min, new_m1, jnp.minimum(new_m2, absv))
+                    new_am = jnp.where(is_min, e, new_am)
+                    new_m1 = jnp.where(is_min, absv, new_m1)
+                    new_sp = new_sp ^ sign
+                    new_sb = new_sb | (sign << e)
+
+                s_m1 = _scale(new_m1, scaling_factor)
+                s_m2 = _scale(new_m2, scaling_factor)
+
+                for e, (c, s) in enumerate(edges):
+                    v2c = v2cs[e]
+                    sign_e = jnp.bitwise_and(new_sb >> e, 1)
+                    mag = jnp.where(new_am == e, s_m2, s_m1)
+                    c2v = jnp.where((new_sp ^ sign_e) == 1, -mag, mag)
+                    soft[c] = _promotion_sum(c2v, v2c)
+                    cur[c] = s
+
+                min1[r] = s_m1
+                min2[r] = s_m2
+                amin[r] = new_am
+                signs[r] = new_sb
+                sprod[r] = new_sp
+
+        def crc_and_snapshot(it):
+            # Packed-int32 CRC per lane; parity reduced per z-wide block.
+            acc = jnp.zeros((b_tile, zp), jnp.int32)
+            for c in range(g.kb):
+                hard = (soft[c] <= 0).astype(jnp.int32)
+                acc = acc ^ (hard * mask_ref[c])
+            ok_lane = jnp.zeros((b_tile, zp), jnp.int32)
+            for k in range(kpack):
+                blk = lane_blk == k
+                bad = jnp.zeros((b_tile, 1), jnp.int32)
+                for j in range(crc_order):
+                    bad = bad | (jnp.sum(
+                        jnp.where(blk, (acc >> j) & 1, 0),
+                        axis=1, keepdims=True) % 2)
+                ok_lane = jnp.where(blk, (bad == 0).astype(jnp.int32), ok_lane)
+
+            newly = ok_lane * (1 - done[...])
+            for c in range(g.kb):
+                out_soft[c] = jnp.where(newly > 0, soft[c], out_soft[c])
+            itcnt[...] = jnp.where(newly > 0, it + 1, itcnt[...])
+            done[...] = done[...] + newly
+            return jnp.min(done[...]).astype(jnp.int32)
+
+        sweep(True)
+        alldone0 = crc_and_snapshot(jnp.int32(0))
+
+        def cond(carry):
+            it, alldone = carry
+            return jnp.logical_and(it < max_iterations, alldone == 0)
+
+        def body(carry):
+            it, _ = carry
+            sweep(False)
+            return it + 1, crc_and_snapshot(it)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(1), alldone0))
+
+        dmask = done[...]
+        rollb_out = _make_block_roller(z, zp, lane_ref[0])
+        for c in range(g.kb):
+            final = jnp.where(dmask > 0, out_soft[c], soft[c])
+            back = rollb_out(final, final_dom[c] % z)
+            clipped = jnp.clip(back, -LLR_INFTY, LLR_INFTY)
+            for k in range(kpack):
+                # Unpack rolls stay int32: Mosaic rotates are 32-bit only.
+                unk = (pltpu.roll(clipped, (zp - k * z) % zp, axis=1)
+                       if (k * z) % zp else clipped)
+                out_ref[:, k, c, :] = unk.astype(jnp.int8)
+        ok_ref[...] = dmask.astype(jnp.int8)
+        it_ref[...] = itcnt[...]
+
+    return kernel, g, tuple(final_dom)
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_crc_mask_lanes(crc_name: str, kp: int, kb: int, z: int, zp: int,
+                           kpack: int, final_dom: tuple[int, ...]) -> np.ndarray:
+    """(kb, 1, zp) int32 CRC mask for the packed lane layout: the per-column
+    z-length mask of `_packed_crc_mask`, block-rotated into the stored
+    domain, replicated at each of the kpack block offsets; pad lanes zero."""
+    base = _packed_crc_mask(crc_name, kp, kb, z, final_dom)[:, 0, :]  # (kb, z)
+    out = np.zeros((kb, zp), np.int32)
+    for k in range(kpack):
+        out[:, k * z:(k + 1) * z] = base
+    return out[:, None, :].copy()
+
+
+def _ldpc_decode_pallas_es_packed(llrs, bg, z, crc_name, nof_crc_covered_bits,
+                                  max_iterations, scaling_factor, b_tile):
+    """Packed-lane early-stop decode path for z % 128 != 0 (see _pack_plan)."""
+    from ..crc import POLYS
+
+    TRACE_STATS["packed"] += 1
+    order, _ = POLYS[crc_name]
+    zp, kpack = _pack_plan(z)
+    kernel, g, final_dom = _make_kernel_packed_es_bm(
+        bg, z, zp, kpack, max_iterations, float(scaling_factor), b_tile, order)
+    mask = _packed_crc_mask_lanes(crc_name, nof_crc_covered_bits, g.kb, z, zp,
+                                  kpack, final_dom)
+    lane = np.arange(zp, dtype=np.int32)
+    lane_tab = np.stack([lane % z, lane // z])  # (2, zp)
+
+    b = llrs.shape[0]
+    pad = (-b) % (b_tile * kpack)
+    if pad:
+        llrs = jnp.concatenate(
+            [llrs, jnp.full((pad, llrs.shape[1]), LLR_INFTY, llrs.dtype)], 0)
+    bp = llrs.shape[0]
+    nrows = bp // kpack
+    x = llrs.reshape(bp, g.n_full - 2, z)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, zp - z)))
+    x = x.reshape(nrows, kpack, g.n_full - 2, zp)
+
+    dev = jax.devices()[0]
+    interpret = not (dev.platform == "tpu" or "TPU" in str(dev))
+    out, ok, iters = pl.pallas_call(
+        kernel,
+        grid=(nrows // b_tile,),
+        in_specs=[
+            pl.BlockSpec((b_tile, kpack, g.n_full - 2, zp),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g.kb, 1, zp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, zp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_tile, kpack, g.kb, zp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, zp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, zp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nrows, kpack, g.kb, zp), jnp.int8),
+            jax.ShapeDtypeStruct((nrows, zp), jnp.int8),
+            jax.ShapeDtypeStruct((nrows, zp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g.n_full, b_tile, zp), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, zp), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, zp), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, zp), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, zp), jnp.int32),
+            pltpu.VMEM((g.m, b_tile, zp), jnp.int32),
+            pltpu.VMEM((g.kb, b_tile, zp), jnp.int32),
+            pltpu.VMEM((b_tile, zp), jnp.int32),
+            pltpu.VMEM((b_tile, zp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x, jnp.asarray(mask), jnp.asarray(lane_tab))
+    soft_info = out[:, :, :, :z].reshape(bp, g.kb * z)[:b]
+    # Per-block verdicts sit at each block's first lane.
+    ok_b = ok[:, 0:kpack * z:z].reshape(bp)[:b].astype(bool)
+    it_b = iters[:, 0:kpack * z:z].reshape(bp)[:b]
+    hard = (((soft_info.astype(jnp.int32) - 1) >> 7) & 1).astype(jnp.uint8)
+    return hard, soft_info, ok_b, it_b
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
 def ldpc_decode_pallas_es_bm(
     llrs,
@@ -570,14 +854,15 @@ def ldpc_decode_pallas_es_bm(
     from ..crc import POLYS
 
     if z % 128 != 0:
-        # Mosaic rejects the batch-major (b_tile, z)-into-[:, c, :] stores
-        # when z is not a whole number of 128-lane vregs ("unsupported shape
-        # cast"); small-z configs fall back to the column-major kernel, whose
-        # transposes are cheap at these sizes.
-        return ldpc_decode_pallas_es(llrs, bg, z, crc_name,
-                                     nof_crc_covered_bits, max_iterations,
-                                     scaling_factor)
+        # Non-vreg-aligned lifting sizes run the packed-lane kernel: state
+        # padded to zp % 128 == 0 lanes (Mosaic rolls corrupt otherwise),
+        # block-cyclic rotation as two rolls + select, kpack codeblocks per
+        # lane row (see _pack_plan).  Bit-exact vs the XLA program.
+        return _ldpc_decode_pallas_es_packed(
+            llrs, bg, z, crc_name, nof_crc_covered_bits, max_iterations,
+            scaling_factor, b_tile)
 
+    TRACE_STATS["es_bm"] += 1
     order, _ = POLYS[crc_name]
     kernel, g, final_dom = _make_kernel_delta_es_bm(
         bg, z, max_iterations, float(scaling_factor), b_tile, order)

@@ -66,12 +66,10 @@ def ldpc_encode(info_bits, bg: BaseGraph, z: int):
     return _encode_jit(info_bits, bg, z)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _encode_jit(info_bits, bg: BaseGraph, z: int):
-    g, rot_idx, cols, row_onehot, core_parity = _encode_tables(bg, z)
+def _encode_core(info, b, z: int, g, bg: BaseGraph, zero_fn):
+    """Shared XOR/roll structure over (b, kb, z) blocks of any integer dtype
+    (uint8 bits, or int32 words carrying 32 bit-packed codeblocks)."""
     kb, m = g.kb, g.m
-    b = info_bits.shape[0]
-    info = info_bits.reshape(b, kb, z)
 
     # lambda_r = XOR over the row's info edges of statically-rolled blocks.
     # Every shift is a trace-time constant, so each term is a cheap
@@ -87,8 +85,7 @@ def _encode_jit(info_bits, bg: BaseGraph, z: int):
             if s >= 0:
                 t = _rot(info[:, c], s, z)
                 acc = t if acc is None else acc ^ t
-        lam_list.append(acc if acc is not None
-                        else jnp.zeros((b, z), jnp.uint8))
+        lam_list.append(acc if acc is not None else zero_fn())
     lam = jnp.stack(lam_list, axis=1)  # (B, M, Z)
 
     # Core parity solve.
@@ -113,7 +110,47 @@ def _encode_jit(info_bits, bg: BaseGraph, z: int):
         ext.append(acc)
 
     parity = jnp.stack(p + ext, axis=1)  # (B, M, Z)
-    out = jnp.concatenate([info, parity], axis=1)  # (B, N_full, Z)
+    return jnp.concatenate([info, parity], axis=1)  # (B, N_full, Z)
+
+
+#: Batch size from which the bit-packed encode pays for its pack/unpack.
+_PACK_THRESHOLD = 8
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _encode_jit(info_bits, bg: BaseGraph, z: int):
+    g, rot_idx, cols, row_onehot, core_parity = _encode_tables(bg, z)
+    kb = g.kb
+    b = info_bits.shape[0]
+
+    if b >= _PACK_THRESHOLD:
+        # Bit-pack the codeblock batch onto int32 lanes: 32 codeblocks per
+        # word, so the ~|E| XOR+roll passes touch 32x less data — the analog
+        # of the reference encoder processing Z-node SIMD lanes
+        # (reference: ldpc_encoder_avx2.cpp), with the vector axis here being
+        # the CB batch.  Bit-exact: XOR and cyclic rolls act per bit lane.
+        words = -(-b // 32)
+        pad = words * 32 - b
+        bits = info_bits
+        if pad:
+            bits = jnp.concatenate(
+                [bits, jnp.zeros((pad, bits.shape[1]), bits.dtype)], 0)
+        iw = bits.reshape(words, 32, kb, z).astype(jnp.int32)
+        weights = jnp.asarray(np.left_shift(
+            np.uint32(1), np.arange(32, dtype=np.uint32)).view(np.int32))
+        packed = jnp.sum(iw * weights[None, :, None, None], axis=1,
+                         dtype=jnp.int32)
+        out_w = _encode_core(packed, words, z, g, bg,
+                             lambda: jnp.zeros((words, z), jnp.int32))
+        # Unpack: (words, NV, Z) int32 -> (words*32, NV*Z) uint8 bits.
+        shifts32 = jnp.arange(32, dtype=jnp.int32)
+        bits_out = ((out_w[:, None] >> shifts32[None, :, None, None]) & 1
+                    ).astype(jnp.uint8)
+        return bits_out.reshape(words * 32, -1)[:b]
+
+    info = info_bits.reshape(b, kb, z)
+    out = _encode_core(info, b, z, g, bg,
+                       lambda: jnp.zeros((b, z), jnp.uint8))
     return out.reshape(b, -1)
 
 

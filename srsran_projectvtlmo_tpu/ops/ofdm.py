@@ -81,9 +81,11 @@ def ofdm_modulate(grid_pair, dft_size: int, mu: int, slot_in_subframe: int = 0,
     nsubc = grid_pair.shape[-2]
     grid = to_cplx(grid_pair)  # (..., nsym, nsubc)
     half = nsubc // 2
-    bins = jnp.zeros(grid.shape[:-1] + (dft_size,), jnp.complex64)
-    bins = bins.at[..., dft_size - half:].set(grid[..., :half])
-    bins = bins.at[..., : nsubc - half].set(grid[..., half:])
+    # Bin layout [grid upper half | guard zeros | grid lower half] as ONE
+    # concatenate: the .at[].set scatter form lowered to two full-buffer
+    # dynamic-update-slices worth ~50% of the modulate's device time.
+    mid = jnp.zeros(grid.shape[:-1] + (dft_size - nsubc,), jnp.complex64)
+    bins = jnp.concatenate([grid[..., half:], mid, grid[..., :half]], axis=-1)
     x = jnp.fft.ifft(bins, axis=-1) * (dft_size * scale)
     phase = jnp.asarray(_phase_compensation(dft_size, mu, slot_in_subframe, center_freq_hz, cp))
     x = x * phase.reshape((nsym, 1))

@@ -47,12 +47,20 @@ class MultiCellUpperPhy:
     """N same-carrier cells processed as one sharded slot program."""
 
     def __init__(self, cfg: CellConfig, nof_cells: int,
-                 ran_mesh: RanMesh | None = None):
+                 ran_mesh: RanMesh | None = None,
+                 expert: "ExpertPhyConfig | None" = None):
+        from ..phy.upper_phy import ExpertPhyConfig
+
         self.cfg = cfg
         self.nof_cells = nof_cells
+        self.expert = expert or ExpertPhyConfig()
         self.rmesh = ran_mesh or make_ran_mesh()
-        self.cell_phys = [UpperPhy(cfg) for _ in range(nof_cells)]
+        self.cell_phys = [UpperPhy(cfg, self.expert) for _ in range(nof_cells)]
         self.harq_pools = [RxBufferPool() for _ in range(nof_cells)]
+        #: Retransmissions whose soft-combining history was lost to HARQ
+        #: pool exhaustion (decoded against a zero buffer, store skipped) —
+        #: the reference flags pool exhaustion rather than losing it silently.
+        self.nof_dropped_harq_reservations = 0
 
     # ------------------------------------------------------------------ UL --
 
@@ -114,6 +122,8 @@ class MultiCellUpperPhy:
     def _process_pusch_batched(self, slot, pdus, grid, out):
         cfg = self.cfg
         p0 = pdus[0]
+        exp = self.expert
+        nof_ack = getattr(p0, "nof_harq_ack_bits", 0)
         rx_cfg = PuschRxConfig(
             nof_rb=p0.rb_size, modulation=p0.modulation,
             target_code_rate=p0.target_code_rate, nof_layers=p0.nof_layers,
@@ -122,13 +132,23 @@ class MultiCellUpperPhy:
             rv=p0.rv, start_symbol=p0.start_symbol, rb_start=p0.rb_start,
             nof_rx_ports=cfg.nof_rx_ports, dft_size=cfg.dft_size,
             numerology=cfg.numerology, dynamic_params=True,
+            nof_harq_ack_bits=nof_ack,
+            nof_ldpc_iterations=exp.pusch_decoder_max_iterations,
+            use_pallas_decoder=exp.use_pallas_decoder,
         )
         k0 = p0.rb_start * 12
         sub = grid[:, :, p0.start_symbol:p0.start_symbol + p0.nof_symbols,
                    k0:k0 + rx_cfg.nof_subc, :]
 
-        # Per-cell DM-RS references and descrambling signs as inputs.
-        refs, signs = [], []
+        # Per-cell DM-RS references, descrambling signs (and, with ACK on
+        # PUSCH, placeholder fix signs) as inputs.
+        if nof_ack:
+            from ..models.pusch_rx import cached_demux_plan
+            from ..ops.ulsch_demux import placeholder_fix_signs
+            from ..ran.modulation import bits_per_symbol
+
+            plan, _ = cached_demux_plan(rx_cfg)
+        refs, signs, ack_fixes = [], [], []
         for pdu in pdus:
             ref = np.stack([
                 dmrs_type1_sequence(slot, s, pdu.n_id, pdu.rb_size,
@@ -137,13 +157,20 @@ class MultiCellUpperPhy:
             ])
             refs.append(np_to_pair(ref))
             cinit = ((pdu.rnti << 15) + pdu.n_id) & 0x7FFFFFFF
-            signs.append(1 - 2 * prg_mod.gold_sequence_bits(
-                cinit, rx_cfg.nof_codeword_bits).astype(np.int8))
+            scr = prg_mod.gold_sequence_bits(cinit, rx_cfg.nof_codeword_bits)
+            signs.append(1 - 2 * scr.astype(np.int8))
+            if nof_ack:
+                ack_fixes.append(placeholder_fix_signs(
+                    plan.ack_bit_idx, nof_ack,
+                    bits_per_symbol(p0.modulation), scr))
         mesh = self.rmesh.mesh
         cell_sh = lambda x, nd: jax.device_put(
             x, NamedSharding(mesh, P("cell", *([None] * (nd - 1)))))
         ref_in = cell_sh(jnp.asarray(np.stack(refs)), 4)
         signs_in = cell_sh(jnp.asarray(np.stack(signs)), 2)
+        uci_fix = None
+        if nof_ack:
+            uci_fix = (cell_sh(jnp.asarray(np.stack(ack_fixes)), 2), None, None)
 
         # HARQ riding the batch: retransmitting cells contribute their stored
         # soft bits, new-data cells an all-zero buffer (the promotion sum is
@@ -159,6 +186,14 @@ class MultiCellUpperPhy:
             bi = pool.reserve(slot, pdu.rnti, pdu.harq_id, ncb,
                               new_data=pdu.new_data)
             buf_idxs.append(bi)
+            if bi is None and not pdu.new_data:
+                self.nof_dropped_harq_reservations += 1
+                import logging
+
+                logging.getLogger("multi_cell_phy").warning(
+                    "HARQ pool exhausted: cell=%d rnti=0x%x harq=%d "
+                    "retransmission decodes without soft-combining history",
+                    c, pdu.rnti, pdu.harq_id)
             if bi is not None and not pdu.new_data:
                 harq_rows.append(pool.get_soft(bi, ncb, nbits))
             else:
@@ -166,9 +201,11 @@ class MultiCellUpperPhy:
         harq_in = cell_sh(jnp.stack(harq_rows), 3)
 
         rx = cached_pusch_rx_from_grid(rx_cfg)
-        res = rx(sub, harq_in, ref_in, signs_in)
+        res = rx(sub, harq_in, ref_in, signs_in, uci_fix)
         ok = to_host(res["tb_crc_ok"])
         bits = flatten_tb_bits(to_host(res["tb_bits_cb"]), rx_cfg.tbs)
+        ack_bits = to_host(res["harq_ack_bits"]) if nof_ack else None
+        ack_metric = to_host(res["harq_ack_metric"]) if nof_ack else None
         for c, pdu in enumerate(pdus):
             if buf_idxs[c] is not None:
                 self.harq_pools[c].store(buf_idxs[c], ncb, nbits,
@@ -179,5 +216,11 @@ class MultiCellUpperPhy:
             out[c].append(RxDataIndication(
                 slot=slot, rnti=pdu.rnti, harq_id=pdu.harq_id,
                 tb_bits=bits[c] if ok[c] else None))
+            if nof_ack:
+                from ..fapi.pdus import UciIndication
+
+                out[c].append(UciIndication(
+                    slot=slot, rnti=pdu.rnti, harq_bits=ack_bits[c],
+                    uci_bits=None, valid=bool(ack_metric[c] > 0.0)))
             if ok[c]:
                 self.harq_pools[c].release(pdu.rnti, pdu.harq_id)

@@ -100,6 +100,13 @@ def _shape_pdcch(pdu: PdcchPdu) -> PdcchPdu:
     return dataclasses.replace(pdu, rnti=0, n_id=0, n_rnti=0, precoding=None)
 
 
+def _shape_csi_rs(pdu) -> object:
+    """CSI-RS value-only field (the Gold-sequence scrambling identity)
+    stripped; the row/k_ref/density RE geometry stays — the pilot VALUES
+    arrive as device inputs, so a scrambling_id change must not recompile."""
+    return dataclasses.replace(pdu, scrambling_id=0)
+
+
 def _port_vector(precoding, nof_ports: int) -> np.ndarray:
     """(P, 2) float32 single-layer port weights; None = port 0 only."""
     if precoding is None:
@@ -384,7 +391,7 @@ def plan_key_for(request: DlTtiRequest, cell) -> DlSlotPlanKey:
         pdsch=tuple(_shape_pdsch(p) for p in request.pdsch),
         pdcch=tuple(_shape_pdcch(p) for p in request.pdcch),
         nof_ssb=len(request.ssb),
-        csi_rs=tuple(getattr(request, "csi_rs", ())),
+        csi_rs=tuple(_shape_csi_rs(p) for p in getattr(request, "csi_rs", ())),
         ssb_k0=tuple(cell.ssb_subc_offset + s.ssb_offset_pointa * 12
                      for s in request.ssb),
     )

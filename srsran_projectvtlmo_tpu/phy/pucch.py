@@ -210,7 +210,13 @@ def detect_pucch_format1(rx_prb_pair, cfg: PucchFormat1Config):
     # 277-286): matched-filter energy over the noise estimate, with the
     # noise variance taken from the despreading residuals; normalized by the
     # threshold (4.0: ~1% false alarm for the unit-variance statistic).
-    metric = jnp.where(sum_nv > 1e-30, sum_corr * sum_corr / sum_nv,
+    # With intra-slot hopping corr and nv each sum over the hops, which
+    # roughly doubles corr^2/nv versus the single-hop statistic the
+    # threshold was calibrated for — dividing by the hop count restores the
+    # same operating point for hopping and non-hopping configurations.
+    nof_hops = len(_f1_hop_ranges(cfg))
+    metric = jnp.where(sum_nv > 1e-30,
+                       sum_corr * sum_corr / (sum_nv * nof_hops),
                        jnp.where(sum_corr > 1e-12, 1e9, 0.0))
     return bits, metric / F1_DETECTION_THRESHOLD
 

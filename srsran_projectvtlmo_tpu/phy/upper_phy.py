@@ -39,6 +39,24 @@ from . import pucch as pucch_mod
 from .harq import RxBufferPool
 
 
+@dataclass
+class ExpertPhyConfig:
+    """Expert PHY knobs (reference: du_low_config.h:63-123).
+
+    Every field is consumed: decoder selection and iteration count plumb
+    into `PuschRxConfig` (here and in `parallel.multi_cell_phy`),
+    `max_proc_delay_slots` sets the `phy.realtime.SlotPipeline` deadline
+    budget, and `log_level` initializes the app logger (apps/gnb_sim.py).
+    """
+
+    pusch_decoder_max_iterations: int = 6
+    #: None = auto (Pallas kernel on TPU, XLA elsewhere; the reference's
+    #: impl selection "auto", channel_coding_factories.cpp:103-110).
+    use_pallas_decoder: bool | None = None
+    max_proc_delay_slots: int = 2
+    log_level: str = "warning"
+
+
 @dataclass(frozen=True)
 class CellConfig:
     nof_rb: int = 273
@@ -69,14 +87,19 @@ class FapiValidationError(ValueError):
 class UpperPhy:
     """One cell's upper PHY: DL slot assembly and UL slot processing."""
 
-    def __init__(self, cfg: CellConfig):
+    def __init__(self, cfg: CellConfig, expert: ExpertPhyConfig | None = None):
         self.cfg = cfg
+        self.expert = expert or ExpertPhyConfig()
         self.harq_pool = RxBufferPool()
         #: PRACH occasions skipped because their capture buffer was not fully
         #: filled (late/lost symbols): detecting on zero-padded symbols would
         #: dilute the correlation peak against thresholds calibrated for full
         #: S-symbol combining and silently miss real preambles.
         self.nof_dropped_prach_occasions = 0
+        #: Retransmissions decoded WITHOUT their soft-combining history
+        #: because the HARQ rx-buffer pool was exhausted (the reference flags
+        #: pool exhaustion, rx_buffer_pool_impl.cpp reserve failure path).
+        self.nof_dropped_harq_reservations = 0
 
     # ------------------------------------------------------------------ DL --
 
@@ -260,26 +283,29 @@ class UpperPhy:
 
     def _process_pusch(self, slot, pdu, grid):
         cfg = self.cfg
-        # No-UCI PDUs run through the dynamic-value program: the DM-RS
-        # reference (absolute slot + n_id) and descrambling signs (rnti/n_id)
-        # are device INPUTS, so one compiled program per slot parity serves
-        # every UE and every slot (reference analog: per-slot PDU churn,
-        # fapi_to_phy_translator.cpp:290-351).  UCI-on-PUSCH keeps the static
-        # path (placement plans are baked per configuration).
-        dyn = not getattr(pdu, "nof_harq_ack_bits", 0)
+        # Every PDU runs through the dynamic-value program: the DM-RS
+        # reference (absolute slot + n_id), descrambling signs (rnti/n_id)
+        # and the UCI placeholder fix signs are device INPUTS, so one
+        # compiled program per slot parity serves every UE and every slot —
+        # including ACK/CSI-on-PUSCH, whose Section 6.2.7 placement plan is
+        # shape-only (reference analog: per-slot PDU churn,
+        # fapi_to_phy_translator.cpp:290-351).
+        nof_ack = getattr(pdu, "nof_harq_ack_bits", 0)
+        exp = self.expert
         rx_cfg = PuschRxConfig(
             nof_rb=pdu.rb_size, modulation=pdu.modulation,
             target_code_rate=pdu.target_code_rate, nof_layers=pdu.nof_layers,
             nof_ofdm_symbols=pdu.nof_symbols,
             dmrs_symbols=tuple(s - pdu.start_symbol for s in pdu.dmrs_symbols),
-            rv=pdu.rv,
-            rnti=0 if dyn else pdu.rnti,
-            n_id=0 if dyn else pdu.n_id,
+            rv=pdu.rv, rnti=0, n_id=0,
             start_symbol=pdu.start_symbol, rb_start=pdu.rb_start,
             nof_rx_ports=cfg.nof_rx_ports, dft_size=cfg.dft_size,
             numerology=cfg.numerology,
-            slot=slot % (1 << cfg.numerology) if dyn else slot,
-            dynamic_params=dyn,
+            slot=slot % (1 << cfg.numerology),
+            nof_harq_ack_bits=nof_ack,
+            nof_ldpc_iterations=exp.pusch_decoder_max_iterations,
+            use_pallas_decoder=exp.use_pallas_decoder,
+            dynamic_params=True,
         )
         k0 = pdu.rb_start * 12
         sub = grid[None, :, pdu.start_symbol:pdu.start_symbol + pdu.nof_symbols,
@@ -288,39 +314,58 @@ class UpperPhy:
         buf_idx = self.harq_pool.reserve(
             slot, pdu.rnti, pdu.harq_id, seg.nof_cb, new_data=pdu.new_data
         )
+        if buf_idx is None and not pdu.new_data:
+            self.nof_dropped_harq_reservations += 1
+            import logging
+
+            logging.getLogger("upper_phy").warning(
+                "HARQ pool exhausted: rnti=0x%x harq=%d retransmission "
+                "decodes without soft-combining history", pdu.rnti, pdu.harq_id)
         rx = cached_pusch_rx_from_grid(rx_cfg)
         n = seg.nof_cw_bits_per_cb
         harq = None
         if buf_idx is not None and not pdu.new_data:
             harq = self.harq_pool.get_soft(buf_idx, seg.nof_cb, n)[None]
-        if dyn:
-            from ..ops import prg as prg_mod
+        from ..ops import prg as prg_mod
 
-            ref = np.stack([
-                dmrs_type1_sequence(slot, s, pdu.n_id, pdu.rb_size,
-                                    prb_start=pdu.rb_start)
-                for s in pdu.dmrs_symbols
-            ])
-            ref_in = jnp.asarray(np_to_pair(ref))[None]
-            cinit = ((pdu.rnti << 15) + pdu.n_id) & 0x7FFFFFFF
-            signs_in = jnp.asarray(
-                1 - 2 * prg_mod.gold_sequence_bits(
-                    cinit, rx_cfg.nof_codeword_bits).astype(np.int8))[None]
-            out = rx(sub, harq, ref_in, signs_in)
-        else:
-            out = rx(sub, harq)
+        ref = np.stack([
+            dmrs_type1_sequence(slot, s, pdu.n_id, pdu.rb_size,
+                                prb_start=pdu.rb_start)
+            for s in pdu.dmrs_symbols
+        ])
+        ref_in = jnp.asarray(np_to_pair(ref))[None]
+        cinit = ((pdu.rnti << 15) + pdu.n_id) & 0x7FFFFFFF
+        scr = prg_mod.gold_sequence_bits(cinit, rx_cfg.nof_codeword_bits)
+        signs_in = jnp.asarray(1 - 2 * scr.astype(np.int8))[None]
+        uci_fix = None
+        if nof_ack:
+            from ..models.pusch_rx import cached_demux_plan
+            from ..ops.ulsch_demux import placeholder_fix_signs
+            from ..ran.modulation import bits_per_symbol
+
+            plan, _ = cached_demux_plan(rx_cfg)
+            ack_fix = placeholder_fix_signs(
+                plan.ack_bit_idx, nof_ack, bits_per_symbol(pdu.modulation), scr)
+            uci_fix = (jnp.asarray(ack_fix, jnp.int8)[None], None, None)
+        out = rx(sub, harq, ref_in, signs_in, uci_fix)
         if buf_idx is not None:
             self.harq_pool.store(buf_idx, seg.nof_cb, n, out["harq_soft"][0])
         ok = bool(to_host(out["tb_crc_ok"])[0])
         if ok:
             self.harq_pool.release(pdu.rnti, pdu.harq_id)
-        return [
+        inds = [
             CrcIndication(slot=slot, rnti=pdu.rnti, harq_id=pdu.harq_id, tb_crc_ok=ok),
             RxDataIndication(
                 slot=slot, rnti=pdu.rnti, harq_id=pdu.harq_id,
                 tb_bits=flatten_tb_bits(to_host(out["tb_bits_cb"]), rx_cfg.tbs)[0] if ok else None,
             ),
         ]
+        if nof_ack:
+            inds.append(UciIndication(
+                slot=slot, rnti=pdu.rnti,
+                harq_bits=to_host(out["harq_ack_bits"])[0], uci_bits=None,
+                valid=bool(to_host(out["harq_ack_metric"])[0] > 0.0)))
+        return inds
 
     def _process_srs(self, slot, pdu, grid, samples):
         """Dispatch one SRS PDU: comb-RE extraction + channel/TA estimate ->

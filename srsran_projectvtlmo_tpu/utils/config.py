@@ -12,17 +12,7 @@ from pathlib import Path
 
 import yaml
 
-from ..phy.upper_phy import CellConfig
-
-
-@dataclass
-class ExpertPhyConfig:
-    """Expert PHY knobs (reference: du_low_config.h:63-123)."""
-
-    pusch_decoder_max_iterations: int = 6
-    use_pallas_decoder: bool = True
-    max_proc_delay_slots: int = 2
-    log_level: str = "warning"
+from ..phy.upper_phy import CellConfig, ExpertPhyConfig
 
 
 @dataclass

@@ -205,3 +205,52 @@ class TestPuschZf:
         assert np.asarray(out["tb_crc_ok"]).all()
         assert (flatten_tb_bits(np.asarray(out["tb_bits_cb"]), cfg.tbs) == tb).all()
         assert (np.asarray(out["ldpc_iterations"]) == 1).all()
+
+
+class TestPackedLaneKernel:
+    """z % 128 != 0 lifting sizes on the packed-lane Pallas kernel
+    (decode_pallas._pack_plan): block-cyclic rotation via two rolls +
+    select, kpack codeblocks per lane row, per-block CRC early stop."""
+
+    def test_pack_plan(self):
+        from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import _pack_plan
+
+        assert _pack_plan(128) == (128, 1)
+        assert _pack_plan(384) == (384, 1)
+        assert _pack_plan(40) == (128, 3)
+        zp, k = _pack_plan(176)
+        assert k * 176 / zp > 0.9
+        for z in (2, 13, 40, 104, 144, 176, 208, 240, 352):
+            zp, k = _pack_plan(z)
+            assert zp % 128 == 0 and k * z <= zp and k >= 1
+
+    def test_packed_clean_converges(self):
+        from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import (
+            ldpc_decode_pallas_es_bm)
+
+        bg, z = BaseGraph.BG2, 40  # (zp, kpack) = (128, 3)
+        info, llr, kp = _crc_codewords(bg, z, 5, "CRC24B", seed=7)
+        hard, _, ok, iters = ldpc_decode_pallas_es_bm(
+            jnp.asarray(llr), bg, z, "CRC24B", kp, 2, 0.8, 2)
+        assert hard.shape[0] == 5 and np.asarray(ok).all()
+        assert (np.asarray(iters) == 1).all()
+        assert (np.asarray(hard) == info).all()
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("bg,z", [
+        (BaseGraph.BG2, 40), (BaseGraph.BG2, 104), (BaseGraph.BG1, 176),
+        (BaseGraph.BG1, 208), (BaseGraph.BG1, 352)])
+    def test_packed_matches_xla_es(self, bg, z):
+        from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import (
+            ldpc_decode_pallas_es_bm)
+
+        info, llr, kp = _crc_codewords(bg, z, 5, "CRC24B", seed=z)
+        rng = np.random.default_rng(z + 1)
+        noisy = np.where(rng.random(llr.shape) < 0.04, -llr // 2,
+                         llr).astype(np.int8)
+        r_p = ldpc_decode_pallas_es_bm(jnp.asarray(noisy), bg, z, "CRC24B",
+                                       kp, 3, 0.8, 2)
+        r_x = ldpc_decode_es(jnp.asarray(noisy), bg, z, "CRC24B", kp,
+                             nof_iterations=3)
+        for a, b in zip(r_p, r_x):
+            assert (np.asarray(a) == np.asarray(b)).all()

@@ -47,3 +47,34 @@ def test_csi_rs_mapping():
     assert np.abs(grid[~mask]).max() == 0
     # QPSK unit power.
     np.testing.assert_allclose(np.abs(seq), 1 / np.sqrt(2) * np.sqrt(2), rtol=1e-6)
+
+
+def test_csi_rs_row11_fd_cdm2_oracle():
+    """Row 11 (16 ports) is fd-CDM2 with 8 CDM groups: l_bar = l0 + g//4,
+    k_bar = k_ref[g % 4] (reference: csi_rs_pattern.cpp mapping_row_11,
+    which asserts cdm == fd_CDM2)."""
+    from srsran_projectvtlmo_tpu.ops.csi_rs import csi_rs_pattern
+
+    k_ref = (0, 4, 6, 8)
+    l0 = 5
+    cfg = CsiRsConfig(nof_rb=4, prb_start=1, row=11, k_ref=k_ref, symbol=l0,
+                      density="one", scrambling_id=7)
+    pat = csi_rs_pattern(cfg)
+    assert len(pat) == 16
+    rbs = 1 + np.arange(4)
+    for p, (symbols, subc, vals) in enumerate(pat):
+        g = p // 2
+        exp_k = k_ref[g % 4]
+        exp_l = l0 + g // 4
+        # fd-CDM2: one time symbol per port, pair of adjacent subcarriers.
+        np.testing.assert_array_equal(symbols, [exp_l])
+        exp_subc = (rbs[:, None] * 12 + np.array([exp_k, exp_k + 1])).reshape(-1)
+        np.testing.assert_array_equal(subc, exp_subc)
+        # CDM weights: even in-group index (1,1), odd (1,-1) on the pair.
+        base = pat[(p // 2) * 2][2]  # even port of the same group
+        sign = 1 if p % 2 == 0 else -1
+        np.testing.assert_allclose(vals[0, 0::2], base[0, 0::2])
+        np.testing.assert_allclose(vals[0, 1::2], sign * base[0, 1::2])
+    # Ports within one CDM group share positions; both symbols l0 and l0+1 used.
+    all_l = sorted({int(s[0]) for s, _, _ in pat})
+    assert all_l == [l0, l0 + 1]

@@ -181,3 +181,96 @@ class TestHarqPool:
         e2 = (np.asarray(hard2) != info).sum()
         assert e2 == 0, f"combined decode failed ({e2} errors)"
         assert e1 > 0, "single transmission unexpectedly decoded (weak test)"
+
+
+def _embed_pusch(tx_cfg, tb, carrier_subc, dft_size, ack=None, noise_seed=9):
+    """TX one PUSCH allocation and return single-port carrier samples."""
+    tx = build_ulsch_tx_slot(tx_cfg)
+    kw = {"ack_bits": jnp.asarray(ack)} if ack is not None else {}
+    alloc_grid_pair, _ = tx(jnp.asarray(tb[None]), **kw)
+    alloc_grid = np.asarray(alloc_grid_pair)[0]
+    carrier = np.zeros((14, carrier_subc), np.complex64)
+    k0 = tx_cfg.rb_start * 12
+    carrier[:, k0:k0 + tx_cfg.nof_rb * 12] = (alloc_grid[..., 0]
+                                              + 1j * alloc_grid[..., 1])
+    rng = np.random.default_rng(noise_seed)
+    carrier += 0.005 * (rng.normal(size=carrier.shape)
+                        + 1j * rng.normal(size=carrier.shape))
+    samples = ofdm.ofdm_modulate(jnp.asarray(np_to_pair(carrier)),
+                                 dft_size, 1, 0)
+    return np.asarray(samples)[None]
+
+
+class TestDynamicUciPusch:
+    def test_ue_churn_with_ack_compiles_once(self):
+        """ACK-on-PUSCH rides the dynamic-params program: a churning UE set
+        (rnti/n_id/slot) with 2-bit ACK builds exactly ONE rx program
+        (reference analog: per-slot PDU churn,
+        fapi_to_phy_translator.cpp:290-351)."""
+        phy = UpperPhy(CELL)
+        cached_pusch_rx_from_grid.cache_clear()
+        rng = np.random.default_rng(3)
+        for i, (rnti, n_id, slot) in enumerate(
+                [(0x17, 5, 2), (0x23, 7, 4), (0x31, 11, 6)]):
+            ack = np.array([[i & 1, 1]], np.uint8)
+            tx_cfg = PuschRxConfig(
+                nof_rb=16, modulation=Modulation.QAM16, target_code_rate=0.5,
+                rnti=rnti, n_id=n_id, rb_start=8, nof_rx_ports=1,
+                dft_size=CELL.dft_size, numerology=1, slot=slot,
+                dmrs_symbols=(2,), nof_harq_ack_bits=2)
+            tb = rng.integers(0, 2, tx_cfg.tbs).astype(np.uint8)
+            samples = _embed_pusch(tx_cfg, tb, CELL.nof_subc, CELL.dft_size,
+                                   ack=ack)
+            req = UlTtiRequest(slot=slot, pusch=(PuschPdu(
+                rnti=rnti, rb_start=8, rb_size=16, modulation=Modulation.QAM16,
+                target_code_rate=0.5, n_id=n_id, dmrs_symbols=(2,),
+                nof_harq_ack_bits=2),))
+            inds = phy.process_ul_slot(req, samples)
+            crc = [x for x in inds if isinstance(x, CrcIndication)]
+            ucis = [x for x in inds if isinstance(x, UciIndication)]
+            rxd = [x for x in inds if isinstance(x, RxDataIndication)]
+            assert crc[0].tb_crc_ok, f"UE {i} SCH decode failed"
+            np.testing.assert_array_equal(rxd[0].tb_bits, tb)
+            assert ucis and ucis[0].valid
+            np.testing.assert_array_equal(ucis[0].harq_bits, ack[0])
+        info = cached_pusch_rx_from_grid.cache_info()
+        assert info.misses == 1, f"expected 1 compiled program, got {info}"
+
+
+class TestExpertPhyPlumbing:
+    @pytest.mark.slow  # interpret-mode Pallas kernel
+    def test_production_path_runs_pallas_kernel(self):
+        """ExpertPhyConfig.use_pallas_decoder=True makes the UpperPhy
+        dispatch trace the Pallas early-stop kernel (TRACE_STATS counter);
+        on TPU the same happens by default via the auto selection."""
+        from srsran_projectvtlmo_tpu.ops.ldpc import decode_pallas as dp
+        from srsran_projectvtlmo_tpu.phy.upper_phy import ExpertPhyConfig
+
+        phy = UpperPhy(CELL, ExpertPhyConfig(use_pallas_decoder=True,
+                                             pusch_decoder_max_iterations=4))
+        rng = np.random.default_rng(5)
+        tx_cfg = PuschRxConfig(
+            nof_rb=4, modulation=Modulation.QPSK, target_code_rate=0.3,
+            rnti=0x44, n_id=3, rb_start=0, nof_rx_ports=1,
+            dft_size=CELL.dft_size, numerology=1, slot=1, dmrs_symbols=(2,))
+        tb = rng.integers(0, 2, tx_cfg.tbs).astype(np.uint8)
+        samples = _embed_pusch(tx_cfg, tb, CELL.nof_subc, CELL.dft_size)
+        before = dict(dp.TRACE_STATS)
+        req = UlTtiRequest(slot=1, pusch=(PuschPdu(
+            rnti=0x44, rb_start=0, rb_size=4, modulation=Modulation.QPSK,
+            target_code_rate=0.3, n_id=3, dmrs_symbols=(2,)),))
+        inds = phy.process_ul_slot(req, samples)
+        crc = [x for x in inds if isinstance(x, CrcIndication)]
+        assert crc[0].tb_crc_ok
+        after = dict(dp.TRACE_STATS)
+        assert sum(after.values()) > sum(before.values()), \
+            "production dispatch did not trace a Pallas decoder kernel"
+
+    def test_auto_selection_is_platform_dependent(self):
+        from srsran_projectvtlmo_tpu.models.pusch_rx import _resolve_use_pallas
+        import jax
+
+        on_tpu = jax.devices()[0].platform == "tpu"
+        assert _resolve_use_pallas(None) == on_tpu
+        assert _resolve_use_pallas(True) is True
+        assert _resolve_use_pallas(False) is False
