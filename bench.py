@@ -187,12 +187,184 @@ def child_ldpc(z: int, batch: int, iters_ldpc: int, reps: int):
             "vs_baseline": round(mbps / 1278.0, 4)}
 
 
-def run_child(spec: dict, budget_s: int):
+def child_ldpc_packed(z: int, batch: int, iters_ldpc: int, reps: int):
+    """Packed-lane early-stop kernel throughput at a z % 128 != 0 size
+    (the reference sweeps all 51 sizes, ldpc_decoder_benchmark.cpp)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from srsran_projectvtlmo_tpu.ran.ldpc_params import BaseGraph
+    from srsran_projectvtlmo_tpu.ops.ldpc.encode import ldpc_encode
+    from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import (
+        ldpc_decode_pallas_es_bm)
+
+    rng = np.random.default_rng(0)
+    info = rng.integers(0, 2, (batch, 22 * z)).astype(np.uint8)
+    cw = np.asarray(ldpc_encode(jnp.asarray(info), BaseGraph.BG1, z))
+    # Random payloads never pass CRC: the measured path is the full
+    # iters_ldpc iterations, like the reference benchmark.
+    llr = jnp.asarray(((1 - 2 * cw[:, 2 * z:].astype(np.int32)) * 8).astype(np.int8))
+    dec = lambda x: ldpc_decode_pallas_es_bm(x, BaseGraph.BG1, z, "CRC24B",
+                                             22 * z, iters_ldpc)[1]
+    np.asarray(dec(llr)[:1])
+    t0 = time.perf_counter()
+    outs = [dec(llr) for _ in range(reps)]
+    for o in outs:
+        np.asarray(o[:1])
+    mbps = batch * reps * 22 * z / (time.perf_counter() - t0) / 1e6
+    return {"metric": f"ldpc_decode_packed_bg1_z{z}_{iters_ldpc}it",
+            "value": round(mbps, 1), "unit": "Mbps (z%128!=0 packed kernel)",
+            "vs_baseline": round(mbps / 1278.0, 4)}
+
+
+def child_latency(iters_ldpc: int):
+    """Small-batch device latency of the north-star PUSCH slot against the
+    max_proc_delay budget (2 slots x 0.5 ms)."""
+    import numpy as np
+    from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    from srsran_projectvtlmo_tpu.models.pusch_rx import (
+        PuschRxConfig, build_pusch_rx_slot)
+    from srsran_projectvtlmo_tpu.ran.modulation import Modulation
+    from srsran_projectvtlmo_tpu.ops import ofdm as ofdm_mod
+
+    sys.path.insert(0, os.path.join(HERE, "tools"))
+    from device_time import profile_device
+
+    cfg = PuschRxConfig(nof_rb=273, modulation=Modulation.QAM256,
+                        target_code_rate=948.0 / 1024.0,
+                        nof_rx_ports=4, nof_layers=2, dft_size=4096,
+                        numerology=1, use_pallas_decoder=True,
+                        ldpc_early_stop=True, nof_ldpc_iterations=iters_ldpc)
+    rx = build_pusch_rx_slot(cfg)
+    rng = np.random.default_rng(0)
+    nsamp = ofdm_mod.slot_sample_count(cfg.dft_size, cfg.numerology, 0)
+    result = None
+    for b in (1, 4):
+        x = jnp.asarray(rng.normal(size=(b, 4, nsamp, 2)).astype(np.float32) * 0.3)
+        dev_s, _ = profile_device(lambda a: rx(a)["tb_crc_ok"], x, reps=5)
+        line = {"metric": f"pusch_rx_device_latency_batch{b}",
+                "value": round(dev_s * 1e3, 3),
+                "unit": f"ms device ({b} slot{'s' if b > 1 else ''})",
+                "vs_baseline": round(b * 0.5 / max(dev_s * 1e3, 1e-9), 4)}
+        if result is not None:
+            print(json.dumps(result))
+        result = line
+    return result
+
+
+def child_multicell(ncells: int, iters_ldpc: int):
+    """Config-5 measured on chip: N same-structure cells' DL slot assembly
+    (batched program) + N cells' PUSCH decode (batched program, HARQ
+    retransmission combining riding the batch) — aggregate device-bound
+    cell-slots/s vs N x 2000 (reference: lib/du_low/du_low_impl.h:31-48)."""
+    import numpy as np
+    from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    from srsran_projectvtlmo_tpu.fapi.pdus import (
+        DlTtiRequest, TxDataRequest, PdschPdu, PdcchPdu, SsbPdu, CsiRsPdu)
+    from srsran_projectvtlmo_tpu.phy.upper_phy import CellConfig
+    from srsran_projectvtlmo_tpu.phy import dl_slot as dl_mod
+    from srsran_projectvtlmo_tpu.models.pusch_rx import (
+        PuschRxConfig, cached_pusch_rx_from_grid)
+    from srsran_projectvtlmo_tpu.ops.dmrs import dmrs_type1_sequence
+    from srsran_projectvtlmo_tpu.ops import prg as prg_mod
+    from srsran_projectvtlmo_tpu.ops import ofdm as ofdm_mod
+    from srsran_projectvtlmo_tpu.ran.modulation import Modulation
+    from srsran_projectvtlmo_tpu.utils.cplx import np_to_pair
+
+    sys.path.insert(0, os.path.join(HERE, "tools"))
+    from device_time import profile_device
+
+    cell = CellConfig(nof_rb=273, dft_size=4096, numerology=1,
+                      nof_tx_ports=4, nof_rx_ports=4)
+    rng = np.random.default_rng(0)
+    w = np.exp(-2j * np.pi * np.outer(np.arange(4), np.arange(2)) / 4) / 2.0
+    prec = tuple(tuple((float(c.real), float(c.imag)) for c in row) for row in w)
+    req = DlTtiRequest(
+        slot=2,
+        ssb=(SsbPdu(phys_cell_id=1, ssb_block_index=0, sfn=0,
+                    half_radio_frame=False),),
+        pdcch=(PdcchPdu(rnti=0x4601, nof_dci_bits=40, aggregation_level=4,
+                        cce_index=0, start_symbol=1, n_id=1, n_rnti=0x4601,
+                        coreset_nof_rb=48, interleaved=True),),
+        pdsch=(PdschPdu(rnti=0x4601, rb_start=0, rb_size=273,
+                        modulation=Modulation.QAM256,
+                        target_code_rate=948 / 1024, nof_layers=2,
+                        start_symbol=2, nof_symbols=12, dmrs_symbols=(2,),
+                        precoding=prec),),
+        csi_rs=(CsiRsPdu(nof_rb=273, symbol=13, subcarrier_offset=3),),
+    )
+    program = dl_mod.get_dl_slot_program(req, cell)
+    tbs = program.pdsch_cfgs[0].tbs
+    tx_data = TxDataRequest(slot=2, tb_bits=[
+        rng.integers(0, 2, tbs).astype(np.uint8)])
+    vals = dl_mod.build_dl_slot_inputs(program, req, tx_data, 2)
+    args_one = program._value_args(2, *vals, tuple(req.pdsch),
+                                   tuple(req.pdcch), tuple(req.ssb))
+    stacked = program.stack_values([args_one] * ncells)
+    dl_dev, _ = profile_device(
+        lambda st: program.run_stacked(2, st)[1], stacked, reps=3)
+
+    # UL: the production dynamic-params batched program, retransmitting
+    # cells contributing stored soft bits.
+    rx_cfg = PuschRxConfig(nof_rb=273, modulation=Modulation.QAM256,
+                           target_code_rate=948.0 / 1024.0, nof_rx_ports=4,
+                           nof_layers=2, dft_size=4096, numerology=1,
+                           use_pallas_decoder=True, dynamic_params=True,
+                           nof_ldpc_iterations=iters_ldpc)
+    rx = cached_pusch_rx_from_grid(rx_cfg)
+    seg = rx_cfg.segmentation
+    nsamp = ofdm_mod.slot_sample_count(4096, 1, 0)
+    samples = jnp.asarray(
+        rng.normal(size=(ncells, 4, nsamp, 2)).astype(np.float32) * 0.3)
+    refs, signs = [], []
+    for c in range(ncells):
+        ref = np.stack([dmrs_type1_sequence(2, 2, c + 1, 273)])
+        refs.append(np_to_pair(ref))
+        cinit = (((0x4601 + c) << 15) + c + 1) & 0x7FFFFFFF
+        signs.append(1 - 2 * prg_mod.gold_sequence_bits(
+            cinit, rx_cfg.nof_codeword_bits).astype(np.int8))
+    ref_in = jnp.asarray(np.stack(refs))
+    signs_in = jnp.asarray(np.stack(signs))
+    # Half the cells retransmit: nonzero HARQ soft history in the batch.
+    harq = rng.integers(-20, 20, size=(
+        ncells, seg.nof_cb, seg.nof_cw_bits_per_cb)).astype(np.int8)
+    harq[: ncells // 2] = 0
+    harq_in = jnp.asarray(harq)
+
+    def ul(s):
+        grid = ofdm_mod.ofdm_demodulate(s, 273 * 12, 4096, 1, 0)
+        return rx(grid, harq_in, ref_in, signs_in)["tb_crc_ok"]
+
+    import jax
+
+    ul_j = jax.jit(ul)
+    ul_dev, _ = profile_device(ul_j, samples, reps=3)
+
+    agg = 2 * ncells / (dl_dev + ul_dev)
+    # vs_baseline: mixed DL/UL cell-slots per second over ONE cell's 2000
+    # slots/s real-time rate — i.e. how many 100 MHz TDD 4x2 cells this one
+    # chip sustains; the multi-cell mesh scales this linearly per chip
+    # (cells shard the same batch axis, parallel/multi_cell_phy.py).
+    return {"metric": f"multi_cell{ncells}_dl_ul_aggregate_cell_slot_rate",
+            "value": round(agg, 1),
+            "unit": f"cell-slots/s device-bound ({ncells} DL + {ncells} UL "
+                    f"per launch pair, HARQ retx in batch)",
+            "vs_baseline": round(agg / 2000.0, 4)}
+
+
+def run_child(spec: dict, budget_s: int, argv=None):
     env = dict(os.environ)
     env["BENCH_CHILD_SPEC"] = json.dumps(spec)
+    if "env" in spec:
+        env.update(spec.pop("env"))
+    cmd = ([sys.executable, "-u"] + argv if argv else
+           [sys.executable, "-u", os.path.abspath(__file__)])
     try:
-        proc = subprocess.run([sys.executable, "-u", os.path.abspath(__file__)],
-                              capture_output=True, text=True, timeout=budget_s, env=env)
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=budget_s, env=env)
     except subprocess.TimeoutExpired:
         return None
     if proc.returncode != 0:
@@ -220,15 +392,35 @@ def main() -> None:
     if spec_env:
         spec = json.loads(spec_env)
         kind = spec.pop("kind")
+        if kind == "script":
+            return  # scripts run directly, not through the child protocol
         result = {"pusch4": child_pusch_4port, "pusch1": child_pusch_1port,
-                  "ldpc": child_ldpc}[kind](**spec)
+                  "ldpc": child_ldpc, "ldpc_packed": child_ldpc_packed,
+                  "latency": child_latency,
+                  "multicell": child_multicell}[kind](**spec)
         print(json.dumps(result))
         return
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "24"))
-    # Progressive attempts under subprocess watchdogs (the remote compiler can
-    # wedge; a fresh process retry usually resolves it).
+    # Secondary metric children (each under a subprocess watchdog; a failed
+    # child just skips its lines).  The DRIVER keeps the LAST JSON line as
+    # the headline, so the north-star PUSCH child runs last.
+    secondaries = [
+        ({"kind": "script", "env": {"ROUNDS": "5"}}, 1500,
+         [os.path.join(HERE, "benchmarks", "dl_slot_bench.py")]),
+        ({"kind": "multicell", "ncells": 4, "iters_ldpc": 2}, 1200, None),
+        ({"kind": "ldpc_packed", "z": 208, "batch": 512, "iters_ldpc": 2,
+          "reps": 10}, 700, None),
+        ({"kind": "latency", "iters_ldpc": 2}, 700, None),
+    ]
+    for spec, budget, argv in secondaries:
+        result = run_child(dict(spec), budget, argv=argv)
+        if result is not None:
+            print(json.dumps(result))
+
+    # Primary attempts (the remote compiler can wedge; a fresh process retry
+    # usually resolves it).
     attempts = [
         ({"kind": "pusch4", "batch": batch, "rounds": rounds,
           "iters_ldpc": 2}, 900, 2),

@@ -80,56 +80,14 @@ def main():
     from device_time import profile_device
 
     tb_j = jnp.asarray(tb)
-    # Reuse the host-side value builders via process_dl_slot's machinery once,
-    # then time just the device program by re-running program.run.
+    from srsran_projectvtlmo_tpu.phy.dl_slot import build_dl_slot_inputs
+
+    _vals0 = build_dl_slot_inputs(program, req, tx_data, 2)
+
     def step(tb_dev):
-        _, s = program.run(2, (tb_dev,), _dmrs(req, cell),
-                           *_pdcch_vals(req, cell, program),
+        _, s = program.run(2, (tb_dev,), *_vals0[1:],
                            pdsch_pdus=tuple(req.pdsch))
         return s
-
-    def _dmrs(req, cell):
-        from srsran_projectvtlmo_tpu.ops.dmrs import dmrs_type1_sequence
-        from srsran_projectvtlmo_tpu.utils.cplx import np_to_pair
-        pdu = req.pdsch[0]
-        ref = np.stack([dmrs_type1_sequence(2, s, pdu.n_id, pdu.rb_size,
-                                            prb_start=pdu.rb_start)
-                        for s in pdu.dmrs_symbols])
-        return (jnp.asarray(np_to_pair(ref)),)
-
-    def _pdcch_vals(req, cell, program):
-        from srsran_projectvtlmo_tpu.phy import pdcch as pdcch_mod
-        from srsran_projectvtlmo_tpu.phy import pbch as pbch_mod
-        from srsran_projectvtlmo_tpu.ops.csi_rs import CsiRsConfig, csi_rs_sequence
-        from srsran_projectvtlmo_tpu.utils.cplx import np_to_pair
-        syms, dmrs = [], []
-        for i, pdu in enumerate(req.pdcch):
-            s = pdcch_mod.pdcch_modulate(
-                pdcch_mod.PdcchCandidateConfig(
-                    nof_dci_bits=pdu.nof_dci_bits,
-                    aggregation_level=pdu.aggregation_level,
-                    rnti=pdu.rnti, n_id=pdu.n_id, n_rnti=pdu.n_rnti),
-                np.zeros(pdu.nof_dci_bits, np.uint8))
-            syms.append(jnp.asarray(np_to_pair(s)))
-            dmrs.append(jnp.asarray(np_to_pair(pdcch_mod.pdcch_dmrs_values(
-                2, pdu.start_symbol, pdu.duration, program.pdcch_prbs[i],
-                pdu.n_id))))
-        ssb = []
-        for s_pdu in req.ssb:
-            msg = pbch_mod.PbchMessage(
-                sfn=s_pdu.sfn, ssb_idx=s_pdu.ssb_block_index,
-                half_radio_frame=s_pdu.half_radio_frame,
-                n_id=s_pdu.phys_cell_id, l_max=s_pdu.l_max,
-                mib_payload=s_pdu.mib_payload)
-            ssb.append(jnp.asarray(np_to_pair(pbch_mod.assemble_ssb(msg))))
-        csi = []
-        for c_pdu in req.csi_rs:
-            seq = csi_rs_sequence(CsiRsConfig(
-                nof_rb=c_pdu.nof_rb, prb_start=c_pdu.prb_start,
-                symbol=c_pdu.symbol, subcarrier_offset=c_pdu.subcarrier_offset,
-                scrambling_id=c_pdu.scrambling_id, slot=2))
-            csi.append(jnp.asarray(np_to_pair(seq)))
-        return tuple(syms), tuple(dmrs), tuple(ssb), tuple(csi)
 
     dev_s, tops = profile_device(step, tb_j, reps=5)
     print(json.dumps({
@@ -137,6 +95,25 @@ def main():
         "value": round(1.0 / dev_s, 1), "unit": "slots/s (op-profile)",
         "vs_baseline": round(1.0 / dev_s / 2000.0, 4)}), flush=True)
     for frac, name in tops[:6]:
+        print(f"  {100*frac:6.2f}% {name[:80]}", flush=True)
+
+    # Batched slot assembly (the multi-cell production shape: cells/slots on
+    # the leading axis of ONE program) — per-op overheads amortize; this is
+    # the deployment-relevant DL number for the multi-cell du_low.
+    batch = int(os.environ.get("DL_BATCH", "8"))
+    vals = _vals0
+    args_one = program._value_args(2, *vals, tuple(req.pdsch),
+                                   tuple(req.pdcch), tuple(req.ssb))
+    stacked = program.stack_values([args_one] * batch)
+    dev_b, tops_b = profile_device(
+        lambda st: program.run_stacked(2, st)[1], stacked, reps=3)
+    rate_b = batch / dev_b
+    print(json.dumps({
+        "metric": f"dl_slot_device_bound_rate_batched{batch}_273prb_4port_2layer",
+        "value": round(rate_b, 1),
+        "unit": f"slots/s (op-profile, batch {batch})",
+        "vs_baseline": round(rate_b / 2000.0, 4)}), flush=True)
+    for frac, name in tops_b[:6]:
         print(f"  {100*frac:6.2f}% {name[:80]}", flush=True)
 
 

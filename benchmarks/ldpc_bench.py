@@ -19,10 +19,12 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--decoder", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--decoder", default="es_bm",
+                choices=["xla", "pallas", "es_bm"])
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--zs", default="64,128,256,384")
+    ap.add_argument("--zs", default="40,64,104,128,176,208,256,352,384",
+                help="lifting sizes; 'all' sweeps all 51 (reference benchmark shape)")
     ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
 
@@ -37,7 +39,12 @@ def main():
     rng = np.random.default_rng(0)
     for bg in (BaseGraph.BG1, BaseGraph.BG2):
         kb = 22 if bg == BaseGraph.BG1 else 10
-        for z in [int(v) for v in args.zs.split(",")]:
+        if args.zs == "all":
+            from srsran_projectvtlmo_tpu.ran.ldpc_params import ALL_LIFTING_SIZES
+            zs = list(ALL_LIFTING_SIZES)
+        else:
+            zs = [int(v) for v in args.zs.split(",")]
+        for z in zs:
             k = kb * z
             info = rng.integers(0, 2, (args.batch, k)).astype(np.uint8)
             info_d = jnp.asarray(info)
@@ -52,7 +59,16 @@ def main():
             llr = jnp.asarray(
                 ((1 - 2 * np.asarray(cw)[:, 2 * z:].astype(np.int32)) * 8).astype(np.int8))
             if args.decoder == "pallas":
-                dec = lambda: ldpc_decode_pallas(llr, bg, z, args.iters)
+                dec = lambda: ldpc_decode_pallas(llr, bg, z, args.iters)[:2]
+            elif args.decoder == "es_bm":
+                # The production early-stop kernel (packed-lane for
+                # z % 128 != 0); random payload CRCs never pass, so the
+                # measured path is the full iteration count.
+                from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import (
+                    ldpc_decode_pallas_es_bm)
+
+                dec = lambda: ldpc_decode_pallas_es_bm(
+                    llr, bg, z, "CRC24B", k, args.iters)[:2]
             else:
                 dec = lambda: ldpc_decode(llr, bg, z, nof_iterations=args.iters)
             hard, _ = dec()

@@ -19,7 +19,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--reps", type=int, default=20)
     args = ap.parse_args()
 
@@ -47,6 +47,22 @@ def main():
         dt = time.perf_counter() - t0
         print(f"prach {name}: {args.batch * args.reps / dt:10.1f} occasions/s "
               f"(incl. host threshold scan)")
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))), "tools"))
+            from device_time import profile_device
+            from srsran_projectvtlmo_tpu.ops.prach import (
+                _detect_jit, threshold_and_margin)
+            _, margin, _ = threshold_and_margin(
+                1, cfg.preamble.scs_hz, cfg.fmt, zcz, cfg.combine_symbols)
+            nfft = 1024 if length == prach.LONG else 256
+            inp = occ_pair[:, None, None]
+            dev_s, _ = profile_device(
+                lambda x: _detect_jit(x, cfg, nfft, margin)[0], inp, reps=3)
+            print(f"prach {name}: {args.batch / dev_s:10.1f} occasions/s "
+                  f"device-bound (op-profile, batch {args.batch})")
+        except Exception as e:
+            print("device profile skipped:", e)
 
 
 if __name__ == "__main__":

@@ -10,10 +10,11 @@ This replaces the reference's executor-forked PUSCH pipeline
 pusch_decoder_impl.cpp:294-398) with one fused device program; codeblocks and
 UEs batch on leading axes.
 
-Supported envelope (mirrors the reference processor's own constraints,
-pusch_processor_impl.cpp:311-312): DM-RS type 1, 2 CDM groups without data
-(DM-RS symbols carry no PUSCH data), 1-2 layers (fd-OCC CDM on the DM-RS),
-1-4 rx ports.
+Supported envelope: DM-RS type 1, 2 CDM groups without data (DM-RS symbols
+carry no PUSCH data), 1-4 layers (fd-OCC CDM per group; layers 2-3 on CDM
+group 1 — the full reference port set, pusch_constants.h:47 MAX_NOF_LAYERS=4,
+dmrs_pusch_estimator_impl.cpp:43-53; the reference PROCESSOR itself constrains
+to 2, pusch_processor_impl.cpp:311-312), 1-4 rx ports.
 """
 
 from __future__ import annotations
@@ -90,6 +91,11 @@ class PuschRxConfig(SchChainConfig):
     #: (the multi-cell du_low sharding path).  UCI-on-PUSCH and hopping keep
     #: the static mode.
     dynamic_params: bool = False
+    #: DM-RS configuration type (TS 38.211 6.4.1.1.3): type 1 = comb-2
+    #: pilots (6/RB per CDM group, group delta 1), type 2 = adjacent pairs
+    #: at k = 6n + k' (4/RB per group, group delta 2).  The reference
+    #: estimator carries both (dmrs_pusch_estimator_impl.cpp:55-66).
+    dmrs_config_type: int = 1
     #: Intra-slot frequency hopping: slot symbol index (absolute) where the
     #: second hop starts, and the second hop's PRB start. The channel is
     #: estimated independently per hop and the DM-RS sequence is CRB-indexed
@@ -245,11 +251,23 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     def _prb_start(sym_abs: int) -> int:
         return cfg.second_hop_prb if _hop_of(sym_abs) else cfg.rb_start
 
-    ref = np.stack([
-        dmrs_type1_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id, cfg.nof_rb,
-                            prb_start=_prb_start(cfg.start_symbol + s))
-        for s in cfg.dmrs_symbols
-    ])
+    dmrs_type2 = cfg.dmrs_config_type == 2
+    if dmrs_type2:
+        assert not hopping and not cfg.dynamic_params, \
+            "DM-RS type 2 supports the static non-hopping path"
+        from ..ops.dmrs import dmrs_type2_sequence
+
+        ref = np.stack([
+            dmrs_type2_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id,
+                                cfg.nof_rb)
+            for s in cfg.dmrs_symbols
+        ])
+    else:
+        ref = np.stack([
+            dmrs_type1_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id, cfg.nof_rb,
+                                prb_start=_prb_start(cfg.start_symbol + s))
+            for s in cfg.dmrs_symbols
+        ])
     ref_pair = np.stack([ref.real, ref.imag], axis=-1).astype(np.float32)
 
     nof_hops = 2 if hopping else 1
@@ -266,7 +284,14 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     if hopping:
         assert all(dmrs_hop_sel[k] for k in range(nof_hops)), \
             "each hop needs at least one DM-RS symbol"
-    pil_subc = (2 * np.arange(6 * cfg.nof_rb)).astype(np.int32)
+    if dmrs_type2:
+        from ..ops.dmrs import dmrs_type2_subcarriers
+
+        pil_subc = dmrs_type2_subcarriers(cfg.nof_rb)
+        comb_delta, cdm_stride = 2, 6   # group delta / pair-center spacing
+    else:
+        pil_subc = (2 * np.arange(6 * cfg.nof_rb)).astype(np.int32)
+        comb_delta, cdm_stride = 1, 4
     descr_signs = 1 - 2 * prg_mod.gold_sequence_bits(
         cfg.scrambling_cinit(), cfg.nof_codeword_bits
     ).astype(np.int32)
@@ -316,7 +341,7 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         # slot-constant) and applied across the data symbols; the CFO
         # correction commutes to a per-symbol phase rotation of the outputs
         # (h' = h e^{j a} => W(h') y = e^{-j a} W(h) y, same post-eq noise).
-        if nlayers == 1:
+        if nlayers == 1 and not dmrs_type2:
             # One estimate per hop (hop = the whole allocation when not
             # hopping); per-hop noise/TA/CFO are then averaged
             # (reference: port_channel_estimator_average_impl.cpp:238-330).
@@ -363,26 +388,39 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
             # Type-1 CDM: despread the fd-OCC over adjacent pilot pairs to split
             # the per-layer least-squares estimates, then smooth/interpolate each
             # at stride 4 (reference: dmrs_pusch_estimator_impl.cpp layer CDM).
+            # Layers {0,1} ride CDM group 0 (even subcarriers, delta=0) and
+            # layers {2,3} CDM group 1 (odd subcarriers, delta=1) with the
+            # same fd-OCC pair, per TS 38.211 Table 6.4.1.1.3-1 ports
+            # 0-3 (reference: dmrs_pusch_estimator_impl.cpp:43-53).
             from ..utils.cplx import to_cplx, from_cplx
 
             if cfg.dynamic_params:
                 ref_c = to_cplx(ref_dmrs)[:, None]  # (B, 1, ndmrs, npil)
             else:
                 ref_c = jnp.asarray(ref)[None, None]  # (1, 1, ndmrs, npil)
-            yp = to_cplx(rx_pilots)  # (B, P, S, npil)
-            lse = yp * jnp.conj(ref_c)
-            pairs = lse.reshape(lse.shape[:-1] + (lse.shape[-1] // 2, 2))
-            despread = jnp.stack(
-                [pairs.mean(-1), (pairs[..., 0] - pairs[..., 1]) * 0.5], axis=0
-            )  # (L, B, P, S, npil/2)
+            layer_lse = []
+            for comb in range((nlayers + 1) // 2):
+                if comb == 0:
+                    yp = to_cplx(rx_pilots)  # (B, P, S, npil)
+                else:
+                    yp = to_cplx(grid[:, :, dmrs_syms][
+                        :, :, :, pil_subc + comb * comb_delta, :
+                    ].astype(jnp.float32))
+                lse = yp * jnp.conj(ref_c)
+                pairs = lse.reshape(lse.shape[:-1] + (lse.shape[-1] // 2, 2))
+                layer_lse.append(pairs.mean(-1))
+                if 2 * comb + 1 < nlayers:
+                    layer_lse.append((pairs[..., 0] - pairs[..., 1]) * 0.5)
+            despread = jnp.stack(layer_lse, axis=0)  # (L, B, P, S, npil/2)
             ones = jnp.stack(
                 [jnp.ones_like(despread[0].real), jnp.zeros_like(despread[0].real)], -1
             )
             despread_pair = from_cplx(despread)
 
             def est_layer_port(g):
-                return estimate_channel_hop(g, ones[0, 0], cfg.nof_rb, 4,
-                                            cfg.scs_hz, dmrs_epochs)
+                return estimate_channel_hop(g, ones[0, 0], cfg.nof_rb,
+                                            cdm_stride, cfg.scs_hz,
+                                            dmrs_epochs)
 
             # vmap over layers (axis 0) and rx ports (axis 1 after the outer
             # vmap strips L): per-(layer, port) estimates with the DM-RS

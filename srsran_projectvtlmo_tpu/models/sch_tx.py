@@ -146,11 +146,12 @@ def sch_scramble_planes(cfg: SchChainConfig, rnti: int, n_id: int,
 @functools.lru_cache(maxsize=None)
 def build_sch_symbols_tx_dyn(cfg: SchChainConfig, g: int | None = None):
     """Dynamic-value SCH symbol chain:
-    fn(tb_bits, scr_planes tuple, k0p int32 scalar) -> (B, G/Qm) complex.
+    fn(tb_bits, scr_planes tuple, rv_onehot (4,) uint8) -> (B, G/Qm) complex.
 
-    The scrambling planes (rnti/n_id) and the circular-buffer start k0'
-    (rv) are device inputs, so one compiled program serves every UE and
-    every redundancy version.  Rate matching is GATHER-FREE: the bit
+    The scrambling planes (rnti/n_id) and the redundancy version (as a
+    one-hot selector over the 4 static circular-buffer starts k0') are
+    device inputs, so one compiled program serves every UE and every
+    redundancy version.  Rate matching is GATHER-FREE: the bit
     selection is a dynamic slice of the filler-less buffer tiled enough to
     cover wrap/repetition, and the Section 5.4.2.2 interleave disappears
     because each transmitted bit plane is a contiguous e-order slice
@@ -174,8 +175,15 @@ def build_sch_symbols_tx_dyn(cfg: SchChainConfig, g: int | None = None):
     full_wraps = margin // n_prime
     margin_rem = margin % n_prime
 
+    #: k0' has at most 4 distinct values (one per redundancy version), so
+    #: the bit selection is 4 STATIC slices + a one-hot select instead of a
+    #: dynamic slice: a dynamic offset stays cheap single-slot but turns
+    #: into a per-element gather under vmap (the batched multi-cell DL
+    #: program), where the static-slice select stays an elementwise pass.
+    k0_by_rv = tuple(sch_k0_prime(cfg, rv) for rv in range(4))
+
     @jax.jit
-    def tx(tb_bits, scr_planes, k0p):
+    def tx(tb_bits, scr_planes, rv_onehot):
         b = tb_bits.shape[0]
         tb_crc = crc_device(tb_bits, tb_crc_name)
         full = jnp.concatenate([tb_bits, tb_crc], axis=-1)
@@ -205,7 +213,10 @@ def build_sch_symbols_tx_dyn(cfg: SchChainConfig, g: int | None = None):
         for gi, (e, js) in enumerate(groups):
             assert js == list(range(js[0], js[-1] + 1)), "E groups not contiguous"
             sub = tiled[:, js[0]:js[-1] + 1]
-            sel = jax.lax.dynamic_slice_in_dim(sub, k0p, e, axis=-1)
+            sel = None
+            for rv, k0 in enumerate(k0_by_rv):
+                cand = sub[:, :, k0:k0 + e] * rv_onehot[rv]
+                sel = cand if sel is None else sel + cand
             planes = sel.reshape(b, len(js), qm, e // qm)
             planes = planes ^ scr_planes[gi][None]
             sym = modulate_planes(planes, cfg.modulation)  # (B, nj, e/qm)

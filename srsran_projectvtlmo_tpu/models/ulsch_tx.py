@@ -123,20 +123,37 @@ def build_ulsch_tx_slot(cfg: PuschRxConfig, nof_csi_part2_bits: int | None = Non
             return cfg.second_hop_prb
         return cfg.rb_start
 
-    ref = np.stack([
-        dmrs_type1_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id, cfg.nof_rb,
-                            prb_start=_prb_start(cfg.start_symbol + s))
-        for s in cfg.dmrs_symbols
-    ])
-    pil_subc = (2 * np.arange(6 * cfg.nof_rb)).astype(np.int32)
+    if getattr(cfg, "dmrs_config_type", 1) == 2:
+        from ..ops.dmrs import dmrs_type2_sequence, dmrs_type2_subcarriers
+
+        ref = np.stack([
+            dmrs_type2_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id,
+                                cfg.nof_rb)
+            for s in cfg.dmrs_symbols
+        ])
+        pil_subc = dmrs_type2_subcarriers(cfg.nof_rb)
+        comb_delta = 2
+    else:
+        ref = np.stack([
+            dmrs_type1_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id, cfg.nof_rb,
+                                prb_start=_prb_start(cfg.start_symbol + s))
+            for s in cfg.dmrs_symbols
+        ])
+        pil_subc = (2 * np.arange(6 * cfg.nof_rb)).astype(np.int32)
+        comb_delta = 1
     data_syms = np.asarray(cfg.data_symbols, dtype=np.int32)
     dmrs_syms = np.asarray(cfg.dmrs_symbols, dtype=np.int32)
 
     nlayers = cfg.nof_layers
-    # Type-1 fd-OCC over adjacent pilot pairs: layer 0 = (+1, +1), layer 1 = (+1, -1).
+    # Type-1 CDM: fd-OCC (+,+)/(+,-) over adjacent pilot pairs within each
+    # CDM group; layers {0,1} on group 0 (even subcarriers, delta=0), layers
+    # {2,3} on group 1 (odd subcarriers, delta=1) — TS 38.211 Table
+    # 6.4.1.1.3-1 ports 0-3 (reference: dmrs_pusch_estimator_impl.cpp:43-53).
     occ = np.ones((nlayers, ref.shape[-1]), np.float32)
-    if nlayers == 2:
-        occ[1, 1::2] = -1.0
+    for l in range(1, nlayers, 2):
+        occ[l, 1::2] = -1.0
+    layer_pil_subc = np.stack(
+        [pil_subc + (l // 2) * comb_delta for l in range(nlayers)])
 
     @jax.jit
     def tx(tb_bits, ack_bits=None, csi1_bits=None, csi2_bits=None):
@@ -163,7 +180,11 @@ def build_ulsch_tx_slot(cfg: PuschRxConfig, nof_csi_part2_bits: int | None = Non
         grid = jnp.zeros((b, nlayers, cfg.nof_ofdm_symbols, cfg.nof_subc), jnp.complex64)
         grid = grid.at[:, :, data_syms, :].set(data_grid)
         pil = jnp.zeros((nlayers, len(cfg.dmrs_symbols), cfg.nof_subc), jnp.complex64)
-        pil = pil.at[:, :, pil_subc].set(jnp.asarray(ref)[None] * jnp.asarray(occ)[:, None, :])
+        for l in range(nlayers):
+            # Scalar + slice + array indexing moves the advanced axis first:
+            # the indexed view is (npil, ndmrs), hence the transpose.
+            pil = pil.at[l, :, jnp.asarray(layer_pil_subc[l])].set(
+                (jnp.asarray(ref) * jnp.asarray(occ[l])[None, :]).T)
         grid = grid.at[:, :, dmrs_syms, :].set(
             jnp.broadcast_to(pil[None], (b,) + pil.shape)
         )

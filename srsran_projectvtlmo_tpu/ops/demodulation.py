@@ -25,8 +25,17 @@ from ..ran.modulation import Modulation, bits_per_symbol
 from ..utils.llr import llr_quantize
 from .modulation import constellation
 
-#: Quantization range: float LLR of +/-20 maps to int8 +/-120.
+#: Quantization range: float LLR of +/-range maps to int8 +/-120.  The
+#: reference uses 24 for the BPSK family and QPSK, 20 for the QAM orders
+#: (demodulation_mapper_{qpsk,qam16,qam64,qam256}.cpp RANGE_LIMIT_FLOAT);
+#: validated against its interval tables in tests/test_reference_parity.py.
 RANGE_LIMIT = 20.0
+
+
+def _range_limit(mod: Modulation) -> float:
+    if mod in (Modulation.BPSK, Modulation.PI_2_BPSK, Modulation.QPSK):
+        return 24.0
+    return RANGE_LIMIT
 
 
 @functools.lru_cache(maxsize=None)
@@ -221,7 +230,7 @@ def soft_demap(symbols_pair, noise_var, mod: Modulation, bit_major: bool = False
         nv = noise_var
         planes = [
             llr_quantize(jnp.where(nv > 0, p / jnp.maximum(nv, 1e-38), 0.0),
-                         RANGE_LIMIT)
+                         _range_limit(mod))
             for p in llrs
         ]
         # Qm plane axis right after the batch axis: (B, Qm, ...spatial...).
@@ -229,7 +238,7 @@ def soft_demap(symbols_pair, noise_var, mod: Modulation, bit_major: bool = False
     # Scale by 1/noise_var; zero/neg variance yields LLR 0 (reference safe_div).
     nv = noise_var[..., None]
     llr = jnp.where(nv > 0, llr / jnp.maximum(nv, 1e-38), 0.0)
-    llr = llr_quantize(llr, RANGE_LIMIT)
+    llr = llr_quantize(llr, _range_limit(mod))
     return llr.reshape(llr.shape[:-2] + (llr.shape[-2] * qm,))
 
 

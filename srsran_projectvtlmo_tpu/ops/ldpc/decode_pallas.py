@@ -616,8 +616,10 @@ def _make_kernel_packed_es_bm(bg: BaseGraph, z: int, zp: int, kpack: int,
 
     def kernel(llr_ref, mask_ref, lane_ref, out_ref, ok_ref, it_ref,
                soft, min1, min2, amin, signs, sprod, out_soft, done, itcnt):
-        lane_mod = lane_ref[0]   # (zp,) lane % z
-        lane_blk = lane_ref[1]   # (zp,) lane // z  (>= kpack in pad lanes)
+        # Keep the lane tables 2D ((1, zp), broadcasting over sublanes):
+        # 1D vectors force Mosaic relayouts at every use.
+        lane_mod = lane_ref[0:1]   # (1, zp) lane % z
+        lane_blk = lane_ref[1:2]   # (1, zp) lane // z  (>= kpack in pad lanes)
         rollb = _make_block_roller(z, zp, lane_mod)
 
         for c in range(nv):
@@ -636,7 +638,7 @@ def _make_kernel_packed_es_bm(bg: BaseGraph, z: int, zp: int, kpack: int,
         out_soft[...] = jnp.zeros((g.kb, b_tile, zp), jnp.int32)
         # Pad lanes (>= kpack*z) start done so they never gate the stop.
         done[...] = jnp.broadcast_to(
-            (lane_blk >= kpack).astype(jnp.int32)[None], (b_tile, zp))
+            (lane_blk >= kpack).astype(jnp.int32), (b_tile, zp))
         itcnt[...] = jnp.full((b_tile, zp), max_iterations, jnp.int32)
 
         def sweep(first: bool):
@@ -732,7 +734,7 @@ def _make_kernel_packed_es_bm(bg: BaseGraph, z: int, zp: int, kpack: int,
         jax.lax.while_loop(cond, body, (jnp.int32(1), alldone0))
 
         dmask = done[...]
-        rollb_out = _make_block_roller(z, zp, lane_ref[0])
+        rollb_out = _make_block_roller(z, zp, lane_mod)
         for c in range(g.kb):
             final = jnp.where(dmask > 0, out_soft[c], soft[c])
             back = rollb_out(final, final_dom[c] % z)
@@ -821,6 +823,10 @@ def _ldpc_decode_pallas_es_packed(llrs, bg, z, crc_name, nof_crc_covered_bits,
             pltpu.VMEM((b_tile, zp), jnp.int32),
             pltpu.VMEM((b_tile, zp), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # Small-z totals fit whole operands in VMEM, blowing the default
+            # 16 MB scoped budget once scratch is added; state the real need.
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, jnp.asarray(mask), jnp.asarray(lane_tab))
     soft_info = out[:, :, :, :z].reshape(bp, g.kb * z)[:b]

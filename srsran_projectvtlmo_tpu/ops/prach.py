@@ -232,7 +232,24 @@ def _detect_jit(rx_freq_pair, cfg: PrachDetectorConfig, nfft: int, margin: int):
                        -jnp.inf)
     peak = jnp.max(metric, axis=-1)
     argpeak = jnp.argmax(metric, axis=-1)
-    return peak, argpeak
+
+    # Device-side finishing (the reference finishes inside detect,
+    # prach_detector_generic_impl.cpp:300-339): reorder the per-(root,
+    # window) peaks into preamble order and scale the peak lag to a TA in
+    # sequence samples, so ONE compact (B, nof_preambles) pair crosses the
+    # device boundary and the host threshold scan is a vector compare.
+    roots, first, spr = cfg.plan
+    gr = np.zeros(cfg.nof_preambles, np.int32)
+    gv = np.zeros(cfg.nof_preambles, np.int32)
+    for r in range(len(roots)):
+        for v in range(spr):
+            idx = first[r] + v
+            if idx < cfg.nof_preambles:
+                gr[idx], gv[idx] = r, v
+    metric_pre = peak[:, jnp.asarray(gr), jnp.asarray(gv)]
+    ta_pre = (argpeak[:, jnp.asarray(gr), jnp.asarray(gv)].astype(jnp.float32)
+              * np.float32(l / nfft))
+    return metric_pre, ta_pre
 
 
 def prach_detect(rx_freq_pair, cfg: PrachDetectorConfig, oversampling: int = 2):
@@ -264,23 +281,16 @@ def prach_detect(rx_freq_pair, cfg: PrachDetectorConfig, oversampling: int = 2):
         thr, margin, _flag = threshold_and_margin(
             nof_ports, cfg.preamble.scs_hz, cfg.fmt,
             cfg.zero_correlation_zone, cfg.combine_symbols)
-    peak, argpeak = _detect_jit(rx_freq_pair, cfg, nfft, margin)
+    metric, ta = _detect_jit(rx_freq_pair, cfg, nfft, margin)
     from ..utils.xfer import to_host
-    peak = to_host(peak)
-    argpeak = to_host(argpeak)
-    roots, first, spr = cfg.plan
 
+    # ONE compact (B, nof_preambles) fetch; the threshold scan is a numpy
+    # vector compare (reference finishes inside detect,
+    # prach_detector_generic_impl.cpp:300-339).
+    metric, ta = to_host((metric, ta))
     results = []
-    for b in range(peak.shape[0]):
-        dets = []
-        for r in range(peak.shape[1]):
-            for v in range(peak.shape[2]):
-                idx = first[r] + v
-                if idx >= cfg.nof_preambles:
-                    continue
-                if peak[b, r, v] > thr:
-                    ta_samples = argpeak[b, r, v] * l / nfft
-                    dets.append((int(idx), float(ta_samples),
-                                 float(peak[b, r, v] / thr)))
-        results.append(dets)
+    for b in range(metric.shape[0]):
+        hits = np.flatnonzero(metric[b] > thr)
+        results.append([(int(i), float(ta[b, i]), float(metric[b, i] / thr))
+                        for i in hits])
     return results

@@ -62,6 +62,55 @@ class MultiCellUpperPhy:
         #: the reference flags pool exhaustion rather than losing it silently.
         self.nof_dropped_harq_reservations = 0
 
+    # ------------------------------------------------------------------ DL --
+
+    def process_dl_slot(self, requests, tx_datas=None, fetch: bool = False):
+        """Assemble one DL slot for every cell as ONE batched device program
+        (cells on the mesh "cell" axis), when all cells share the slot
+        structure; heterogeneous structures fall back to per-cell dispatch.
+
+        Args:
+          requests: one DlTtiRequest per cell.
+          tx_datas: optional list of TxDataRequest per cell.
+
+        Returns (grids (ncell, P, 14, nsubc, 2), samples
+        (ncell, P, nsamples, 2)) device arrays (fetch=False) or numpy
+        (fetch=True).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..phy import dl_slot as dl_mod
+        from ..utils.xfer import to_host
+
+        assert len(requests) == self.nof_cells
+        tx_datas = tx_datas or [None] * self.nof_cells
+        slot = requests[0].slot
+        keys = {dl_mod.plan_key_for(r, self.cfg) for r in requests}
+        if len(keys) != 1:
+            outs = [self.cell_phys[c].process_dl_slot(
+                requests[c], tx_datas[c], fetch=fetch)
+                for c in range(self.nof_cells)]
+            grids = [g for g, _ in outs]
+            samps = [s for _, s in outs]
+            if fetch:
+                return np.stack(grids), np.stack(samps)
+            return jnp.stack(grids), jnp.stack(samps)
+
+        program = dl_mod.get_dl_slot_program(requests[0], self.cfg)
+        batch = []
+        for c, (req, txd) in enumerate(zip(requests, tx_datas)):
+            vals = dl_mod.build_dl_slot_inputs(program, req, txd, slot)
+            batch.append(program._value_args(
+                slot, *vals, tuple(req.pdsch), tuple(req.pdcch),
+                tuple(req.ssb)))
+        mesh = self.rmesh.mesh
+        shard = lambda x: jax.device_put(
+            x, NamedSharding(mesh, PartitionSpec(
+                "cell", *([None] * (x.ndim - 1)))))
+        grid, samples = program.run_batched(slot, batch, shard_fn=shard)
+        if fetch:
+            return to_host(grid), to_host(samples)
+        return grid, samples
+
     # ------------------------------------------------------------------ UL --
 
     def process_ul_slot(self, requests: list[UlTtiRequest], samples: np.ndarray):

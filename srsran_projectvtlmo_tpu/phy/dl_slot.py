@@ -143,8 +143,11 @@ class DlSlotProgram:
     Program inputs (device arrays, slot-dependent values):
       tb_bits:     tuple of (TBS_i,) uint8
       pdsch_dmrs:  tuple of (ndmrs, npil, 2) float32 base pilot sequences
-      pdcch_syms:  tuple of (n_data, 2) float32 modulated candidate symbols
-      pdcch_dmrs:  tuple of (n_dmrs, 2) float32
+      pdcch_syms:  tuple of (n_re, 2) float32 candidate REs (data + DM-RS
+                   combined, host-permuted into block order — see
+                   build_dl_slot_inputs)
+      pdcch_dmrs:  () — retained for signature stability (values ride
+                   combined in pdcch_syms)
       ssb_grids:   tuple of (4, 240, 2) float32 assembled SSB blocks
       csi_vals:    tuple of (nof_rb, 2) float32
       pdsch_scr:   tuple of (G_i,) uint8 scrambling sequences (rnti/n_id)
@@ -181,7 +184,13 @@ class DlSlotProgram:
                              for s in cfg.dmrs_symbols],
             })
 
-        # --- PDCCH: per-candidate block span + local RE indices -------------
+        # --- PDCCH: per-candidate block span, scatter-free ------------------
+        # The candidate's REs cover FULL PRBs (each REG occupies all 12
+        # subcarriers: 9 data + 3 DM-RS), so with the VALUES host-permuted
+        # into block order (build_dl_slot_inputs applies `order`) the device
+        # assembly is a reshape + a tiny one-hot matmul that places the
+        # occupied PRBs into the span — no scatter, which would lower to a
+        # per-element loop once the values batch (the multi-cell program).
         self.pdcch_prbs: list[list[int]] = []
         self.pdcch_layout = []
         for pdu in key.pdcch:
@@ -197,12 +206,24 @@ class DlSlotProgram:
                 sub = flat % cell.nof_subc
                 return (sym - s0) * span + (sub - sp0)
 
+            pos = np.asarray([local(f) for f in np.concatenate(
+                [data_idx, dmrs_idx])], np.int64)
+            order = np.argsort(pos)
+            pos_sorted = pos[order]
+            prb_off = np.unique((pos_sorted % span) // 12)
+            nprb = len(prb_off)
+            # Full-PRB occupancy, identical PRB set per symbol.
+            grid_pos = (np.arange(pdu.duration)[:, None, None] * span
+                        + prb_off[None, :, None] * 12
+                        + np.arange(12)[None, None, :]).reshape(-1)
+            assert np.array_equal(pos_sorted, grid_pos), \
+                "PDCCH candidate does not occupy full PRBs"
+            onehot = np.zeros((span // 12, nprb), np.float32)
+            onehot[prb_off, np.arange(nprb)] = 1.0
             self.pdcch_layout.append({
                 "s0": s0, "dur": pdu.duration, "sp0": sp0, "span": span,
-                "data_local": jnp.asarray(np.asarray(
-                    [local(f) for f in data_idx], np.int32)),
-                "dmrs_local": jnp.asarray(np.asarray(
-                    [local(f) for f in dmrs_idx], np.int32)),
+                "order": order, "nprb": nprb,
+                "onehot": jnp.asarray(onehot),
             })
 
         # --- CSI-RS: per-port regular comb patterns -------------------------
@@ -289,17 +310,16 @@ class DlSlotProgram:
                 grid = jax.lax.dynamic_update_slice(
                     grid, rows[:, mi:mi + 1], (0, sym, lay["k0"], 0))
 
-        # PDCCH: per-candidate block scatter (a few hundred REs) ADDED into
-        # the CORESET span so co-scheduled channels elsewhere survive.
+        # PDCCH: values arrive block-ordered (data + DM-RS pre-permuted on
+        # the host); a reshape exposes the (sym, prb, subc) structure and a
+        # one-hot matmul places the occupied PRBs into the span — ADDED so
+        # co-scheduled channels elsewhere survive.  No scatter anywhere.
         for i, lay in enumerate(self.pdcch_layout):
-            n = lay["dur"] * lay["span"]
-            block = jnp.zeros((p, n, 2), jnp.float32)
-            w_syms = jnp.stack([self._weighted(pdcch_w[i][pi], pdcch_syms[i])
-                                for pi in range(p)])
-            w_dmrs = jnp.stack([self._weighted(pdcch_w[i][pi], pdcch_dmrs[i])
-                                for pi in range(p)])
-            block = block.at[:, lay["data_local"]].set(w_syms)
-            block = block.at[:, lay["dmrs_local"]].set(w_dmrs)
+            w_rows = jnp.stack([self._weighted(pdcch_w[i][pi], pdcch_syms[i])
+                                for pi in range(p)])  # (P, n_re, 2)
+            rows = w_rows.reshape(p, lay["dur"], lay["nprb"], 12, 2)
+            block = jnp.einsum("sp,adpkr->adskr", lay["onehot"], rows,
+                               preferred_element_type=jnp.float32)
             block = block.reshape(p, lay["dur"], lay["span"], 2)
             grid = grid.at[:, lay["s0"]:lay["s0"] + lay["dur"],
                            lay["sp0"]:lay["sp0"] + lay["span"]].add(block)
@@ -338,16 +358,11 @@ class DlSlotProgram:
             grid, self.cell.dft_size, self.cell.numerology, slot_in_sf)
         return grid, samples
 
-    def run(self, slot: int, tb_bits=(), pdsch_dmrs=(), pdcch_syms=(),
-            pdcch_dmrs=(), ssb_grids=(), csi_vals=(), pdsch_pdus=(),
-            pdcch_pdus=(), ssb_pdus=()):
-        """Execute the compiled slot program.
-
-        `pdsch_pdus`/`pdcch_pdus`/`ssb_pdus` are the ORIGINAL (un-normalized)
-        PDUs carrying the per-UE values (rnti/n_id/rv/precoding); when
-        omitted, the key's normalized PDUs are used (rnti=0, rv=0, identity
-        layer->port precoding; port-0 PDCCH/SSB)."""
-        slot_in_sf = slot % (1 << self.cell.numerology)
+    def _value_args(self, slot: int, tb_bits, pdsch_dmrs, pdcch_syms,
+                    pdcch_dmrs, ssb_grids, csi_vals, pdsch_pdus, pdcch_pdus,
+                    ssb_pdus):
+        """Build the per-slot VALUE argument tuple for `_assemble` (all the
+        non-static inputs, in signature order after slot_in_sf)."""
         pdus = tuple(pdsch_pdus) if pdsch_pdus else self.key.pdsch
         p = self.key.nof_tx_ports
         scr, rm_idx, ws = [], [], []
@@ -361,10 +376,62 @@ class DlSlotProgram:
         spdus = tuple(ssb_pdus) if ssb_pdus else (None,) * self.key.nof_ssb
         sw = tuple(jnp.asarray(_port_vector(getattr(s, "precoding", None), p))
                    for s in spdus)
-        return self._compiled(slot_in_sf, tuple(tb_bits), tuple(pdsch_dmrs),
-                              tuple(pdcch_syms), tuple(pdcch_dmrs),
-                              tuple(ssb_grids), tuple(csi_vals),
-                              tuple(scr), tuple(rm_idx), tuple(ws), pw, sw)
+        return (tuple(tb_bits), tuple(pdsch_dmrs), tuple(pdcch_syms),
+                tuple(pdcch_dmrs), tuple(ssb_grids), tuple(csi_vals),
+                tuple(scr), tuple(rm_idx), tuple(ws), pw, sw)
+
+    def _batched_fn(self, slot_in_sf: int):
+        """Jitted vmap of the slot assembly over a leading batch axis on
+        EVERY value input: slots of one cell, or one slot of many same-
+        structure cells (the du_low multi-cell DL analog of the reference's
+        per-cell upper_phy instances, lib/du_low/du_low_impl.h:31-48).
+        Amortizes per-op overheads: the single-slot program is launch/layout
+        bound at ~1.4x real time while the B=8 batch exceeds 3x."""
+        if not hasattr(self, "_batched_cache"):
+            self._batched_cache = {}
+        if slot_in_sf not in self._batched_cache:
+            f = functools.partial(self._assemble, slot_in_sf)
+            self._batched_cache[slot_in_sf] = jax.jit(jax.vmap(f))
+        return self._batched_cache[slot_in_sf]
+
+    @staticmethod
+    def stack_values(value_args_batch, shard_fn=None):
+        """Stack per-entry `_value_args(...)` tuples onto a leading batch
+        axis.  `shard_fn` (optional) maps each stacked leaf to a device
+        placement — the multi-cell path shards the batch axis over the mesh
+        "cell" axis."""
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *value_args_batch)
+        if shard_fn is not None:
+            stacked = jax.tree_util.tree_map(shard_fn, stacked)
+        return stacked
+
+    def run_stacked(self, slot: int, stacked):
+        """Execute the batched slot assembly on pre-stacked value args.
+        Returns (grid (B, P, 14, nsubc, 2), samples (B, P, nsamples, 2))."""
+        return self._batched_fn(slot % (1 << self.cell.numerology))(*stacked)
+
+    def run_batched(self, slot: int, value_args_batch, shard_fn=None):
+        """`stack_values` + `run_stacked` in one call (per-slot batches
+        whose values change every call; steady-value benches should
+        pre-stack once)."""
+        return self.run_stacked(slot,
+                                self.stack_values(value_args_batch, shard_fn))
+
+    def run(self, slot: int, tb_bits=(), pdsch_dmrs=(), pdcch_syms=(),
+            pdcch_dmrs=(), ssb_grids=(), csi_vals=(), pdsch_pdus=(),
+            pdcch_pdus=(), ssb_pdus=()):
+        """Execute the compiled slot program.
+
+        `pdsch_pdus`/`pdcch_pdus`/`ssb_pdus` are the ORIGINAL (un-normalized)
+        PDUs carrying the per-UE values (rnti/n_id/rv/precoding); when
+        omitted, the key's normalized PDUs are used (rnti=0, rv=0, identity
+        layer->port precoding; port-0 PDCCH/SSB)."""
+        slot_in_sf = slot % (1 << self.cell.numerology)
+        args = self._value_args(slot, tb_bits, pdsch_dmrs, pdcch_syms,
+                                pdcch_dmrs, ssb_grids, csi_vals, pdsch_pdus,
+                                pdcch_pdus, ssb_pdus)
+        return self._compiled(slot_in_sf, *args)
 
 
 @functools.lru_cache(maxsize=512)
@@ -374,7 +441,11 @@ def _scramble_planes(cfg, rnti: int, n_id: int):
 
 @functools.lru_cache(maxsize=256)
 def _k0_prime(cfg, rv: int):
-    return jnp.asarray(sch_k0_prime(cfg, rv), jnp.int32)
+    """rv as a one-hot selector over the 4 static k0' slices (see
+    build_sch_symbols_tx_dyn)."""
+    oh = np.zeros(4, np.uint8)
+    oh[rv] = 1
+    return jnp.asarray(oh)
 
 
 @functools.lru_cache(maxsize=64)
@@ -399,3 +470,75 @@ def plan_key_for(request: DlTtiRequest, cell) -> DlSlotPlanKey:
 
 def get_dl_slot_program(request: DlTtiRequest, cell) -> DlSlotProgram:
     return _cached_program(plan_key_for(request, cell), cell)
+
+
+def build_dl_slot_inputs(program: DlSlotProgram, request: DlTtiRequest,
+                         tx_data, slot: int):
+    """Host-side per-slot VALUE inputs for one cell's DL slot: TB bits,
+    DM-RS/PDCCH/SSB/CSI-RS pilot values.  Shared by the per-cell UpperPhy
+    and the batched multi-cell DL path."""
+    from ..ops.dmrs import dmrs_type1_sequence
+    from ..utils.cplx import np_to_pair
+    from . import pbch as pbch_mod
+    from . import pdcch as pdcch_mod
+
+    tb_bits, pdsch_dmrs = [], []
+    for i, pdu in enumerate(request.pdsch):
+        sch_cfg = program.pdsch_cfgs[i]
+        tb = (tx_data.tb_bits[i] if tx_data is not None
+              else np.zeros(sch_cfg.tbs, np.uint8))
+        assert len(tb) == sch_cfg.tbs, f"TB size {len(tb)} != {sch_cfg.tbs}"
+        tb_bits.append(jnp.asarray(np.asarray(tb, np.uint8)))
+        ref = np.stack([
+            dmrs_type1_sequence(slot, s, pdu.n_id, pdu.rb_size,
+                                prb_start=pdu.rb_start)
+            for s in pdu.dmrs_symbols
+        ])
+        pdsch_dmrs.append(jnp.asarray(np_to_pair(ref)))
+
+    # PDCCH: data + DM-RS values combined and host-permuted into the
+    # candidate's block order (the device assembly is then scatter-free:
+    # reshape + one-hot PRB placement; see DlSlotProgram pdcch_layout).
+    pdcch_syms, pdcch_dmrs = [], []
+    for i, pdu in enumerate(request.pdcch):
+        payload = getattr(pdu, "payload", None)
+        if payload is None:
+            payload = np.zeros(pdu.nof_dci_bits, np.uint8)
+        syms = pdcch_mod.pdcch_modulate(
+            pdcch_mod.PdcchCandidateConfig(
+                nof_dci_bits=pdu.nof_dci_bits,
+                aggregation_level=pdu.aggregation_level,
+                rnti=pdu.rnti, n_id=pdu.n_id, n_rnti=pdu.n_rnti,
+            ),
+            np.asarray(payload, np.uint8),
+        )
+        pil = pdcch_mod.pdcch_dmrs_values(
+            slot, pdu.start_symbol, pdu.duration, program.pdcch_prbs[i],
+            pdu.n_id)
+        combined = np.concatenate([np_to_pair(syms), np_to_pair(pil)])
+        pdcch_syms.append(jnp.asarray(
+            combined[program.pdcch_layout[i]["order"]]))
+
+    ssb_grids = []
+    for ssb in request.ssb:
+        msg = pbch_mod.PbchMessage(
+            sfn=ssb.sfn, ssb_idx=ssb.ssb_block_index,
+            half_radio_frame=ssb.half_radio_frame, n_id=ssb.phys_cell_id,
+            l_max=ssb.l_max, mib_payload=ssb.mib_payload,
+        )
+        ssb_grids.append(jnp.asarray(np_to_pair(pbch_mod.assemble_ssb(msg))))
+
+    csi_vals = []
+    for pdu in request.csi_rs:
+        from ..ops.csi_rs import CsiRsConfig, csi_rs_pattern
+
+        pat = csi_rs_pattern(CsiRsConfig(
+            nof_rb=pdu.nof_rb, prb_start=pdu.prb_start, row=pdu.row,
+            k_ref=pdu.k_ref, density=pdu.density, symbol=pdu.symbol,
+            subcarrier_offset=pdu.subcarrier_offset,
+            scrambling_id=pdu.scrambling_id, slot=slot,
+        ))
+        flat = np.concatenate([v.reshape(-1) for (_, _, v) in pat])
+        csi_vals.append(jnp.asarray(np_to_pair(flat)))
+
+    return (tb_bits, pdsch_dmrs, pdcch_syms, pdcch_dmrs, ssb_grids, csi_vals)

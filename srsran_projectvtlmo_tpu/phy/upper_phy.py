@@ -130,59 +130,8 @@ class UpperPhy:
         from . import dl_slot as dl_mod
 
         program = dl_mod.get_dl_slot_program(request, cfg)
-
-        tb_bits = []
-        pdsch_dmrs = []
-        for i, pdu in enumerate(request.pdsch):
-            sch_cfg = program.pdsch_cfgs[i]
-            tb = (tx_data.tb_bits[i] if tx_data is not None
-                  else np.zeros(sch_cfg.tbs, np.uint8))
-            assert len(tb) == sch_cfg.tbs, f"TB size {len(tb)} != {sch_cfg.tbs}"
-            tb_bits.append(jnp.asarray(np.asarray(tb, np.uint8)))
-            ref = np.stack([
-                dmrs_type1_sequence(slot, s, pdu.n_id, pdu.rb_size,
-                                    prb_start=pdu.rb_start)
-                for s in pdu.dmrs_symbols
-            ])
-            pdsch_dmrs.append(jnp.asarray(np_to_pair(ref)))
-
-        pdcch_syms, pdcch_dmrs = [], []
-        for i, pdu in enumerate(request.pdcch):
-            syms = pdcch_mod.pdcch_modulate(
-                pdcch_mod.PdcchCandidateConfig(
-                    nof_dci_bits=pdu.nof_dci_bits,
-                    aggregation_level=pdu.aggregation_level,
-                    rnti=pdu.rnti, n_id=pdu.n_id, n_rnti=pdu.n_rnti,
-                ),
-                self._dci_payload(pdu),
-            )
-            pdcch_syms.append(jnp.asarray(np_to_pair(syms)))
-            pil = pdcch_mod.pdcch_dmrs_values(
-                slot, pdu.start_symbol, pdu.duration, program.pdcch_prbs[i],
-                pdu.n_id)
-            pdcch_dmrs.append(jnp.asarray(np_to_pair(pil)))
-
-        ssb_grids = []
-        for ssb in request.ssb:
-            msg = pbch_mod.PbchMessage(
-                sfn=ssb.sfn, ssb_idx=ssb.ssb_block_index,
-                half_radio_frame=ssb.half_radio_frame, n_id=ssb.phys_cell_id,
-                l_max=ssb.l_max, mib_payload=ssb.mib_payload,
-            )
-            ssb_grids.append(jnp.asarray(np_to_pair(pbch_mod.assemble_ssb(msg))))
-
-        csi_vals = []
-        for pdu in request.csi_rs:
-            from ..ops.csi_rs import CsiRsConfig, csi_rs_pattern
-
-            pat = csi_rs_pattern(CsiRsConfig(
-                nof_rb=pdu.nof_rb, prb_start=pdu.prb_start, row=pdu.row,
-                k_ref=pdu.k_ref, density=pdu.density, symbol=pdu.symbol,
-                subcarrier_offset=pdu.subcarrier_offset,
-                scrambling_id=pdu.scrambling_id, slot=slot,
-            ))
-            flat = np.concatenate([v.reshape(-1) for (_, _, v) in pat])
-            csi_vals.append(jnp.asarray(np_to_pair(flat)))
+        (tb_bits, pdsch_dmrs, pdcch_syms, pdcch_dmrs, ssb_grids,
+         csi_vals) = dl_mod.build_dl_slot_inputs(program, request, tx_data, slot)
 
         grid_pair, samples = program.run(
             slot, tb_bits, pdsch_dmrs, pdcch_syms, pdcch_dmrs, ssb_grids,

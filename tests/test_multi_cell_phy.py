@@ -176,3 +176,44 @@ def test_harq_retransmission_in_batched_path():
         data = [i for i in o if isinstance(i, RxDataIndication)]
         assert crc and crc[0].tb_crc_ok, f"cell {c} retx failed"
         np.testing.assert_array_equal(data[0].tb_bits, tbs_list[c])
+
+
+def test_multi_cell_dl_matches_per_cell():
+    """The batched multi-cell DL program (cells on the mesh axis) produces
+    the same grids/samples as per-cell UpperPhy dispatch."""
+    from srsran_projectvtlmo_tpu.fapi.pdus import (
+        DlTtiRequest, TxDataRequest, SsbPdu, PdschPdu)
+    from srsran_projectvtlmo_tpu.phy.upper_phy import UpperPhy
+    from srsran_projectvtlmo_tpu.utils.xfer import to_host
+
+    cell = CellConfig(nof_rb=52, dft_size=1024, numerology=1,
+                      nof_tx_ports=2, phys_cell_id=7)
+    mc = MultiCellUpperPhy(cell, 2)
+    rng = np.random.default_rng(11)
+
+    reqs, txs = [], []
+    for c, rnti in enumerate((0x4601, 0x4702)):
+        pdsch = PdschPdu(rnti=rnti, rb_start=4, rb_size=24,
+                         modulation=Modulation.QAM16, target_code_rate=0.5,
+                         nof_layers=2, start_symbol=2, nof_symbols=10,
+                         dmrs_symbols=(2,), n_id=c + 1)
+        req = DlTtiRequest(
+            slot=3,
+            ssb=(SsbPdu(phys_cell_id=7, ssb_block_index=0, sfn=c,
+                        half_radio_frame=False),),
+            pdsch=(pdsch,),
+        )
+        from srsran_projectvtlmo_tpu.phy.dl_slot import get_dl_slot_program
+        tbs = get_dl_slot_program(req, cell).pdsch_cfgs[0].tbs
+        tb = rng.integers(0, 2, tbs).astype(np.uint8)
+        reqs.append(req)
+        txs.append(TxDataRequest(slot=3, tb_bits=[tb]))
+
+    grids, samples = mc.process_dl_slot(reqs, txs, fetch=True)
+    assert grids.shape[0] == 2 and samples.shape[0] == 2
+
+    ref_phy = UpperPhy(cell)
+    for c in range(2):
+        g_ref, s_ref = ref_phy.process_dl_slot(reqs[c], txs[c], fetch=False)
+        np.testing.assert_allclose(grids[c], to_host(g_ref), atol=2e-5)
+        np.testing.assert_allclose(samples[c], to_host(s_ref), atol=2e-4)

@@ -219,3 +219,124 @@ class TestFrequencyHopping:
         snr_hop = float(np.asarray(out_hop["snr_db"]).mean())
         snr_flat = float(np.asarray(out_flat["snr_db"]).mean())
         assert snr_hop > snr_flat + 10, (snr_hop, snr_flat)
+
+
+class TestFourLayerPusch:
+    """3-4 layer PUSCH: DM-RS type 1 over both CDM groups (ports 0-3), layer
+    demap, general-L MMSE (reference envelope: pusch_constants.h:47
+    MAX_NOF_LAYERS=4, dmrs_pusch_estimator_impl.cpp:43-53)."""
+
+    def test_four_layer_awgn_loopback(self):
+        cfg = PuschRxConfig(nof_rb=16, modulation=Modulation.QPSK,
+                            target_code_rate=0.3, nof_layers=4,
+                            nof_rx_ports=4, dft_size=256, numerology=1,
+                            nof_ldpc_iterations=8)
+        tx = build_ulsch_tx_slot(cfg)
+        rx = build_pusch_rx_slot(cfg)
+        rng = np.random.default_rng(2)
+        tb = rng.integers(0, 2, (1, cfg.tbs)).astype(np.uint8)
+        grid_pair, _ = tx(jnp.asarray(tb))  # (1, 4, 14, nsubc, 2)
+        layer_grids = pair_to_np(np.asarray(grid_pair)[0])
+        # Identity-ish mixing: each layer to its own port + light crosstalk.
+        mix = (np.eye(4) + 0.1 * np.ones((4, 4))).astype(np.complex64)
+        rx_grid = np.einsum("pl,lsk->psk", mix, layer_grids)
+        rx_grid += 0.002 * (rng.normal(size=rx_grid.shape)
+                            + 1j * rng.normal(size=rx_grid.shape))
+        samples = ofdm.ofdm_modulate(jnp.asarray(np_to_pair(rx_grid)),
+                                     cfg.dft_size, cfg.numerology, 0)
+        out = rx(jnp.asarray(np.asarray(samples))[None])
+        assert bool(np.asarray(out["tb_crc_ok"])[0]), "4-layer decode failed"
+        np.testing.assert_array_equal(
+            flatten_tb_bits(np.asarray(out["tb_bits_cb"]), cfg.tbs)[0], tb[0])
+
+    def test_three_layer_awgn_loopback(self):
+        cfg = PuschRxConfig(nof_rb=12, modulation=Modulation.QPSK,
+                            target_code_rate=0.3, nof_layers=3,
+                            nof_rx_ports=4, dft_size=256, numerology=1,
+                            nof_ldpc_iterations=8)
+        tx = build_ulsch_tx_slot(cfg)
+        rx = build_pusch_rx_slot(cfg)
+        rng = np.random.default_rng(3)
+        tb = rng.integers(0, 2, (1, cfg.tbs)).astype(np.uint8)
+        grid_pair, _ = tx(jnp.asarray(tb))
+        layer_grids = pair_to_np(np.asarray(grid_pair)[0])
+        mix = (np.eye(4)[:, :3] + 0.1).astype(np.complex64)
+        rx_grid = np.einsum("pl,lsk->psk", mix, layer_grids)
+        rx_grid += 0.002 * (rng.normal(size=rx_grid.shape)
+                            + 1j * rng.normal(size=rx_grid.shape))
+        samples = ofdm.ofdm_modulate(jnp.asarray(np_to_pair(rx_grid)),
+                                     cfg.dft_size, cfg.numerology, 0)
+        out = rx(jnp.asarray(np.asarray(samples))[None])
+        assert bool(np.asarray(out["tb_crc_ok"])[0]), "3-layer decode failed"
+
+    @pytest.mark.slow
+    def test_four_layer_tdl_fading(self):
+        """4x4 TDL-A fading at high SNR: most slots decode (BLER sanity,
+        reference analog: pxsch_bler_test.cpp 4-port cases)."""
+        from srsran_projectvtlmo_tpu.models.channel import ChannelEmulator
+
+        cfg = PuschRxConfig(nof_rb=16, modulation=Modulation.QPSK,
+                            target_code_rate=0.3, nof_layers=4,
+                            nof_rx_ports=4, dft_size=256, numerology=1,
+                            nof_ldpc_iterations=8)
+        tx = build_ulsch_tx_slot(cfg)
+        rx = build_pusch_rx_slot(cfg)
+        rng = np.random.default_rng(4)
+        tb = rng.integers(0, 2, (1, cfg.tbs)).astype(np.uint8)
+        grid_pair, _ = tx(jnp.asarray(tb))
+        layer_grids = pair_to_np(np.asarray(grid_pair)[0])
+        ok = 0
+        n = 6
+        for s in range(n):
+            emu = ChannelEmulator("TDLA", 25.0, cfg.nof_rx_ports,
+                                  cfg.nof_subc, 30e3, seed=200 + s)
+            rx_grid, _ = emu.run_mimo(layer_grids)
+            samples = ofdm.ofdm_modulate(jnp.asarray(np_to_pair(rx_grid)),
+                                         cfg.dft_size, cfg.numerology, 0)
+            out = rx(jnp.asarray(np.asarray(samples))[None])
+            ok += bool(np.asarray(out["tb_crc_ok"])[0])
+        assert ok >= 4, f"4-layer TDL decode succeeded only {ok}/{n} slots"
+
+
+class TestDmrsType2:
+    """DM-RS configuration type 2: pilot pairs at k = 6n + k' + 2*group
+    (TS 38.211 Table 6.4.1.1.3-1; reference estimator parameter set,
+    dmrs_pusch_estimator_impl.cpp:55-66)."""
+
+    @pytest.mark.parametrize("nlayers", [1, 2, 4])
+    def test_type2_loopback(self, nlayers):
+        cfg = PuschRxConfig(nof_rb=16, modulation=Modulation.QPSK,
+                            target_code_rate=0.3, nof_layers=nlayers,
+                            nof_rx_ports=4 if nlayers > 1 else 1,
+                            dft_size=256, numerology=1, dmrs_config_type=2,
+                            nof_ldpc_iterations=8)
+        tx = build_ulsch_tx_slot(cfg)
+        rx = build_pusch_rx_slot(cfg)
+        rng = np.random.default_rng(nlayers)
+        tb = rng.integers(0, 2, (1, cfg.tbs)).astype(np.uint8)
+        grid_pair, samples = tx(jnp.asarray(tb))
+        if nlayers == 1:
+            noisy = (np.asarray(samples)
+                     + 0.003 * rng.normal(size=np.asarray(samples).shape
+                                          ).astype(np.float32))
+            out = rx(jnp.asarray(noisy)[:, None])
+        else:
+            layer_grids = pair_to_np(np.asarray(grid_pair)[0])
+            mix = (np.eye(4)[:, :nlayers] + 0.1).astype(np.complex64)
+            rx_grid = np.einsum("pl,lsk->psk", mix, layer_grids)
+            rx_grid += 0.002 * (rng.normal(size=rx_grid.shape)
+                                + 1j * rng.normal(size=rx_grid.shape))
+            s = ofdm.ofdm_modulate(jnp.asarray(np_to_pair(rx_grid)),
+                                   cfg.dft_size, cfg.numerology, 0)
+            out = rx(jnp.asarray(np.asarray(s))[None])
+        assert bool(np.asarray(out["tb_crc_ok"])[0]), \
+            f"type-2 {nlayers}-layer decode failed"
+        np.testing.assert_array_equal(
+            flatten_tb_bits(np.asarray(out["tb_bits_cb"]), cfg.tbs)[0], tb[0])
+
+    def test_type2_pilot_positions(self):
+        from srsran_projectvtlmo_tpu.ops.dmrs import dmrs_type2_subcarriers
+
+        np.testing.assert_array_equal(dmrs_type2_subcarriers(1), [0, 1, 6, 7])
+        np.testing.assert_array_equal(dmrs_type2_subcarriers(1, delta=2),
+                                      [2, 3, 8, 9])

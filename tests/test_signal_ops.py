@@ -65,8 +65,10 @@ class TestSoftDemap:
         nv = np.array([0.5], np.float32)
         llr = np.asarray(demodulation.soft_demap(jnp.asarray(y), jnp.asarray(nv), Modulation.QPSK))
         expect = 2 * np.sqrt(2) * y[0] / nv[0]
-        got_float = llr.astype(np.float64) / 120 * 20
-        np.testing.assert_allclose(got_float, expect, atol=0.17)
+        # QPSK quantizes at range 24 (reference demodulation_mapper_qpsk.cpp
+        # RANGE_LIMIT_FLOAT; the QAM orders use 20).
+        got_float = llr.astype(np.float64) / 120 * 24
+        np.testing.assert_allclose(got_float, expect, atol=0.2)
 
     def test_zero_noise_var_gives_zero(self):
         y = np.array([[0.3, -0.5]], np.float32)

@@ -37,3 +37,61 @@ g++ -O2 -std=c++17 $UINC -c "$(dirname "$0")/dump_ulsch.cpp" -o dump_ulsch.o
 g++ -o dump_ulsch dump_ulsch.o ulsch_demultiplex_impl.o ulsch_info.o \
   sch_segmentation.o log_likelihood_ratio.o bit.o compare.o
 echo "built $OUT/dump_ulsch"
+
+# Polar chain cross-validation dumper.
+PINC="$INC -I$REF/lib/phy/upper/channel_coding/polar"
+for f in \
+  $REF/lib/phy/upper/channel_coding/polar/polar_code_impl.cpp \
+  $REF/lib/phy/upper/channel_coding/polar/polar_allocator_impl.cpp \
+  $REF/lib/phy/upper/channel_coding/polar/polar_deallocator_impl.cpp \
+  $REF/lib/phy/upper/channel_coding/polar/polar_decoder_impl.cpp \
+  $REF/lib/phy/upper/channel_coding/polar/polar_encoder_impl.cpp \
+  $REF/lib/phy/upper/channel_coding/polar/polar_interleaver_impl.cpp \
+  $REF/lib/phy/upper/channel_coding/polar/polar_rate_dematcher_impl.cpp \
+  $REF/lib/phy/upper/channel_coding/polar/polar_rate_matcher_impl.cpp; do
+  g++ -O2 -std=c++17 $PINC -c "$f" -o "$(basename "$f" .cpp).o"
+done
+g++ -O2 -std=c++17 $PINC -c "$(dirname "$0")/dump_polar.cpp" -o dump_polar.o
+g++ -O2 -std=c++17 $INC -c $REF/lib/srsvec/aligned_vec.cpp -o aligned_vec.o
+g++ -o dump_polar dump_polar.o polar_code_impl.o polar_allocator_impl.o \
+  polar_deallocator_impl.o polar_decoder_impl.o polar_encoder_impl.o \
+  polar_interleaver_impl.o polar_rate_dematcher_impl.o polar_rate_matcher_impl.o \
+  log_likelihood_ratio.o bit.o compare.o aligned_vec.o
+echo "built $OUT/dump_polar"
+
+# Interval-table demapper cross-validation dumper.
+MINC="$INC -I$REF/lib/phy/upper/channel_modulation"
+for f in \
+  $REF/lib/phy/upper/channel_modulation/demodulation_mapper_impl.cpp \
+  $REF/lib/phy/upper/channel_modulation/demodulation_mapper_qpsk.cpp \
+  $REF/lib/phy/upper/channel_modulation/demodulation_mapper_qam16.cpp \
+  $REF/lib/phy/upper/channel_modulation/demodulation_mapper_qam64.cpp \
+  $REF/lib/phy/upper/channel_modulation/demodulation_mapper_qam256.cpp; do
+  g++ -O2 -std=c++17 $MINC -c "$f" -o "$(basename "$f" .cpp).o"
+done
+g++ -O2 -std=c++17 $MINC -c "$(dirname "$0")/dump_demap.cpp" -o dump_demap.o
+g++ -o dump_demap dump_demap.o demodulation_mapper_impl.o \
+  demodulation_mapper_qpsk.o demodulation_mapper_qam16.o \
+  demodulation_mapper_qam64.o demodulation_mapper_qam256.o \
+  log_likelihood_ratio.o bit.o compare.o
+echo "built $OUT/dump_demap"
+
+# PRACH detector cross-validation dumper.
+RINC="$INC -I$REF/lib/phy/upper/channel_processors -I$REF/lib/phy/generic_functions"
+for f in \
+  $REF/lib/phy/upper/channel_processors/prach_detector_generic_impl.cpp \
+  $REF/lib/phy/upper/channel_processors/prach_generator_impl.cpp \
+  $REF/lib/phy/generic_functions/dft_processor_generic_impl.cpp \
+  $REF/lib/ran/prach/prach_cyclic_shifts.cpp \
+  $REF/lib/ran/prach/prach_preamble_information.cpp \
+  $REF/lib/srsvec/accumulate.cpp $REF/lib/srsvec/add.cpp \
+  $REF/lib/srsvec/division.cpp $REF/lib/srsvec/modulus_square.cpp \
+  $REF/lib/srsvec/prod.cpp $REF/lib/srsvec/sc_prod.cpp; do
+  g++ -O2 -std=c++17 $RINC -c "$f" -o "$(basename "$f" .cpp).o"
+done
+g++ -O2 -std=c++17 $RINC -c "$(dirname "$0")/dump_prach.cpp" -o dump_prach.o
+g++ -o dump_prach dump_prach.o prach_detector_generic_impl.o prach_generator_impl.o \
+  dft_processor_generic_impl.o prach_cyclic_shifts.o prach_preamble_information.o \
+  accumulate.o add.o division.o modulus_square.o prod.o sc_prod.o \
+  log_likelihood_ratio.o bit.o compare.o dot_prod.o aligned_vec.o
+echo "built $OUT/dump_prach"
