@@ -35,7 +35,12 @@ def main() -> int:
     ap.add_argument("--dft", type=int, default=1024)
     ap.add_argument("--mcs-mod", default="16QAM")
     ap.add_argument("--code-rate", type=float, default=0.5)
-    ap.add_argument("--snr-db", type=float, default=30.0)
+    # Default 34: the north-star UL (QAM256 R=948/1024, 2 layers) has its
+    # LDPC threshold at ~29 dB post-equalization; with ~1 dB channel-
+    # estimation loss a 30 dB injected SNR sits exactly ON threshold and
+    # CRC results flip with noise realizations — 34 dB gives the validation
+    # harness a real margin (a production cell would HARQ instead).
+    ap.add_argument("--snr-db", type=float, default=34.0)
     ap.add_argument("--channel", default="AWGN", choices=["AWGN", "TDLA", "TDLB", "TDLC"])
     ap.add_argument("--config", default=None, help="YAML cell config")
     ap.add_argument("--trace", default=None, help="write Chrome trace JSON here")
@@ -281,6 +286,16 @@ def run_northstar(args) -> int:
     pipeline = SlotPipeline(err, max_proc_delay_slots=expert.max_proc_delay_slots)
     sent_dl = []
 
+    # Streaming rx-symbol handler shared across slots; with
+    # expert_phy.rx_symbols_filename the completed UL slot grids append to a
+    # binary IQ capture (reference: YAML phy_rx_symbols_filename).
+    handler = RxSymbolHandler(cell.nof_rx_ports, cell.nof_subc)
+    if expert.rx_symbols_filename:
+        from srsran_projectvtlmo_tpu.phy.rx_symbol_handler import (
+            RxSymbolFileDumper)
+
+        handler = RxSymbolFileDumper(handler, expert.rx_symbols_filename)
+
     crc_ok = 0
     pucch_ok = 0
     prach_expected = 0
@@ -340,7 +355,6 @@ def run_northstar(args) -> int:
                              n_id=cell.phys_cell_id, dmrs_symbols=(2,))
         # Streaming rx-symbol dispatch for the PUSCH; PUCCH (+PRACH) ride the
         # same slot request.
-        handler = RxSymbolHandler(cell.nof_rx_ports, cell.nof_subc)
         handler.repo.add(slot, pusch_pdu)
         inds = []
         for sym in range(14):
@@ -385,6 +399,11 @@ def run_northstar(args) -> int:
                 print(f"slot {slot}: PRACH preambles={pres}", flush=True)
 
     pipeline.flush()
+    if expert.rx_symbols_filename:
+        handler.close()
+        print(f"rx symbols: {handler.nof_slots_written} slot grids -> "
+              f"{expert.rx_symbols_filename} "
+              f"({handler.nof_dropped_writes} dropped)", flush=True)
     dt = time.perf_counter() - t_start
     print(f"\nnorthstar: {args.slots} DL+UL slots in {dt:.2f}s "
           f"({args.slots / dt:.2f} slots/s incl host+tunnel); "

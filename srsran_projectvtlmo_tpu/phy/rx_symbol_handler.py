@@ -67,3 +67,69 @@ class RxSymbolHandler:
     def release_slot(self, slot: int) -> None:
         self._grids.pop(slot, None)
         self._seen.pop(slot, None)
+
+
+class RxSymbolFileDumper:
+    """Decorator over `RxSymbolHandler` that appends each completed slot's
+    UL resource grid to a binary capture file for field debugging
+    (reference: upper_phy_rx_symbol_handler_printer_decorator.h, YAML
+    `phy_rx_symbols_filename`).
+
+    File format matches the reference: per slot, ports [start, stop) x 14
+    symbols x nof_subc complex64 values, written back to back.  Writes run
+    on a background thread so the hot path only enqueues.
+    """
+
+    def __init__(self, inner: RxSymbolHandler, filename: str,
+                 ports: tuple[int, int] | None = None,
+                 last_symbol: int = 13):
+        import queue
+        import threading
+
+        self.inner = inner
+        self.repo = inner.repo
+        self._ports = ports
+        self._last_symbol = last_symbol
+        self._file = open(filename, "wb")
+        self._q: "queue.Queue[np.ndarray | None]" = queue.Queue(maxsize=64)
+        self.nof_dropped_writes = 0
+        self.nof_slots_written = 0
+
+        def _writer():
+            while True:
+                item = self._q.get()
+                if item is None:
+                    break
+                self._file.write(item.tobytes())
+                self._file.flush()
+
+        self._thread = threading.Thread(target=_writer, daemon=True,
+                                        name="rx_symb_dump")
+        self._thread.start()
+
+    def handle_rx_symbol(self, slot: int, symbol: int,
+                         symbol_data: np.ndarray) -> list:
+        ready = self.inner.handle_rx_symbol(slot, symbol, symbol_data)
+        if symbol == self._last_symbol:
+            grid = self.inner.grid(slot)
+            if self._ports is not None:
+                grid = grid[self._ports[0]:self._ports[1]]
+            try:
+                self._q.put_nowait(np.ascontiguousarray(grid))
+                self.nof_slots_written += 1
+            except Exception:
+                # Queue full: drop rather than stall the receive path
+                # (the reference logs and skips likewise).
+                self.nof_dropped_writes += 1
+        return ready
+
+    def grid(self, slot: int) -> np.ndarray:
+        return self.inner.grid(slot)
+
+    def release_slot(self, slot: int) -> None:
+        self.inner.release_slot(slot)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=5)
+        self._file.close()

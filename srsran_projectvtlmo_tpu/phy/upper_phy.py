@@ -55,6 +55,11 @@ class ExpertPhyConfig:
     use_pallas_decoder: bool | None = None
     max_proc_delay_slots: int = 2
     log_level: str = "warning"
+    #: When set, completed UL slot grids append to this binary capture file
+    #: (phy.rx_symbol_handler.RxSymbolFileDumper; the reference's YAML
+    #: `phy_rx_symbols_filename`,
+    #: upper_phy_rx_symbol_handler_printer_decorator.h).
+    rx_symbols_filename: str | None = None
 
 
 @dataclass(frozen=True)

@@ -116,3 +116,29 @@ def test_warmup_precompiles_slot_variants():
     pool = precompile_pusch(cfg, nof_slots=2, progress=lambda s, dt: seen.append(s))
     assert sorted(pool) == [0, 1]
     assert seen == [0, 1]
+
+
+def test_rx_symbol_file_dumper(tmp_path):
+    """The dumper decorator appends each completed slot's grid as complex64
+    (reference: upper_phy_rx_symbol_handler_printer_decorator.h)."""
+    import numpy as np
+    from srsran_projectvtlmo_tpu.phy.rx_symbol_handler import (
+        RxSymbolHandler, RxSymbolFileDumper)
+
+    path = tmp_path / "rx_symbols.bin"
+    inner = RxSymbolHandler(nof_rx_ports=2, nof_subc=24)
+    dump = RxSymbolFileDumper(inner, str(path))
+    rng = np.random.default_rng(0)
+    grids = []
+    for slot in range(2):
+        g = (rng.normal(size=(2, 14, 24))
+             + 1j * rng.normal(size=(2, 14, 24))).astype(np.complex64)
+        for sym in range(14):
+            dump.handle_rx_symbol(slot, sym, g[:, sym])
+        grids.append(g)
+        dump.release_slot(slot)
+    dump.close()
+    raw = np.fromfile(path, np.complex64).reshape(2, 2, 14, 24)
+    np.testing.assert_array_equal(raw[0], grids[0])
+    np.testing.assert_array_equal(raw[1], grids[1])
+    assert dump.nof_slots_written == 2 and dump.nof_dropped_writes == 0

@@ -114,3 +114,40 @@ def test_sharded_ofdm_demodulate_matches_local():
     with mesh:
         got = np.asarray(sharded_ofdm_demodulate(samples, nsubc, dft, mu, mesh))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_cb_sharded_es_decode_bit_exact():
+    """The PRODUCTION early-stop decoder inside shard_map over the CB axis
+    matches the unsharded decode exactly (hard/soft/ok/iterations)."""
+    import jax
+    from srsran_projectvtlmo_tpu.parallel.cb_shard import (
+        build_sharded_ldpc_decode_es)
+    from srsran_projectvtlmo_tpu.parallel.mesh import cell_mesh, shard_leading
+    from srsran_projectvtlmo_tpu.ops.ldpc.encode import ldpc_encode
+    from srsran_projectvtlmo_tpu.ops.ldpc.decode import ldpc_decode_es
+    from srsran_projectvtlmo_tpu.ran.ldpc_params import BaseGraph
+
+    mesh = cell_mesh(8, axis="cb")
+    bg, z = BaseGraph.BG1, 64
+    rng = np.random.default_rng(3)
+    kp = 22 * z
+    from srsran_projectvtlmo_tpu.ops.crc import crc_host
+
+    payload = rng.integers(0, 2, (16, kp - 24)).astype(np.uint8)
+    info = np.concatenate(
+        [payload, np.stack([crc_host(p, "CRC24B") for p in payload])], -1)
+    cw = np.asarray(ldpc_encode(jnp.asarray(info), bg, z))
+    base = ((1 - 2 * cw[:, 2 * z:].astype(np.int32)) * 8).astype(np.int8)
+    noisy = np.where(rng.random(base.shape) < 0.05, -base // 2,
+                     base).astype(np.int8)
+    llr = jnp.asarray(noisy)
+
+    fn = build_sharded_ldpc_decode_es(mesh, bg, z, "CRC24B", kp, 6, axis="cb")
+    with mesh:
+        llr_s = shard_leading(llr, mesh, axis="cb")
+        res_s = [np.asarray(jax.block_until_ready(x)) for x in fn(llr_s)]
+    res_l = [np.asarray(x) for x in ldpc_decode_es(llr, bg, z, "CRC24B", kp,
+                                                   nof_iterations=6)]
+    for a, b in zip(res_s, res_l):
+        np.testing.assert_array_equal(a, b)
+    assert res_l[2].all() and (res_s[0] == info).all()
