@@ -958,11 +958,10 @@ def ldpc_decode_pallas_es(
     order, _ = POLYS[crc_name]
     dev0 = jax.devices()[0]
     if (dev0.platform == "tpu" or "TPU" in str(dev0)) and not _tpu_roll_safe(z):
-        from .decode import ldpc_decode_es as _xla_es
-
-        return _xla_es(llrs, bg, z, crc_name, nof_crc_covered_bits,
-                       nof_iterations=max_iterations,
-                       scaling_factor=scaling_factor)
+        # Same packed-lane kernel the batch-major entry point uses.
+        return _ldpc_decode_pallas_es_packed(
+            llrs, bg, z, crc_name, nof_crc_covered_bits, max_iterations,
+            scaling_factor, b_tile)
     kernel, g, final_dom = _make_kernel_delta_es(
         bg, z, max_iterations, float(scaling_factor), b_tile, order)
     mask = _packed_crc_mask(crc_name, nof_crc_covered_bits, g.kb, z, final_dom)

@@ -15,7 +15,6 @@ batching, and task-type executors become independent program dispatches.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -33,8 +32,6 @@ from ..ops import prach as prach_mod
 from ..ops.dmrs import dmrs_type1_sequence
 from ..utils.cplx import np_to_pair, pair_to_np
 from ..utils.xfer import to_host
-from . import pbch as pbch_mod
-from . import pdcch as pdcch_mod
 from . import pucch as pucch_mod
 from .harq import RxBufferPool
 
@@ -149,13 +146,6 @@ class UpperPhy:
             out_grid = out_grid[0]
             samples = samples[0]
         return out_grid, to_host(samples)
-
-    def _dci_payload(self, pdu) -> np.ndarray:
-        # The DCI payload bits arrive from L2; tests set them via the attribute.
-        payload = getattr(pdu, "payload", None)
-        if payload is None:
-            return np.zeros(pdu.nof_dci_bits, np.uint8)
-        return np.asarray(payload, np.uint8)
 
     # ------------------------------------------------------------------ UL --
 

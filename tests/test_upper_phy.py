@@ -274,3 +274,38 @@ class TestExpertPhyPlumbing:
         assert _resolve_use_pallas(None) == on_tpu
         assert _resolve_use_pallas(True) is True
         assert _resolve_use_pallas(False) is False
+
+
+def test_four_layer_pusch_through_upper_phy():
+    """The dynamic-params dispatch handles the full 4-layer port set
+    (CDM groups 0 and 1) end to end."""
+    cell4 = CellConfig(nof_rb=24, dft_size=512, numerology=1,
+                       nof_rx_ports=4, phys_cell_id=3)
+    phy = UpperPhy(cell4)
+    rng = np.random.default_rng(7)
+    tx_cfg = PuschRxConfig(
+        nof_rb=16, modulation=Modulation.QPSK, target_code_rate=0.3,
+        nof_layers=4, nof_rx_ports=4, rnti=0x31, n_id=3, rb_start=4,
+        dft_size=cell4.dft_size, numerology=1, slot=3, dmrs_symbols=(2,),
+        nof_ldpc_iterations=8)
+    tx = build_ulsch_tx_slot(tx_cfg)
+    tb = rng.integers(0, 2, tx_cfg.tbs).astype(np.uint8)
+    grid_pair, _ = tx(jnp.asarray(tb[None]))
+    from srsran_projectvtlmo_tpu.utils.cplx import pair_to_np
+
+    lg = pair_to_np(np.asarray(grid_pair))[0]  # (4, 14, nsubc_alloc)
+    mix = (np.eye(4) + 0.1 * np.ones((4, 4))).astype(np.complex64)
+    carrier = np.zeros((4, 14, cell4.nof_subc), np.complex64)
+    carrier[:, :, 4 * 12:20 * 12] = np.einsum("pl,lsk->psk", mix, lg)
+    carrier += 0.002 * (rng.normal(size=carrier.shape)
+                        + 1j * rng.normal(size=carrier.shape))
+    samples = np.asarray(ofdm.ofdm_modulate(
+        jnp.asarray(np_to_pair(carrier)), cell4.dft_size, 1, 1))
+    req = UlTtiRequest(slot=3, pusch=(PuschPdu(
+        rnti=0x31, rb_start=4, rb_size=16, modulation=Modulation.QPSK,
+        target_code_rate=0.3, nof_layers=4, n_id=3, dmrs_symbols=(2,)),))
+    inds = phy.process_ul_slot(req, samples, validate=False)
+    crc = [x for x in inds if isinstance(x, CrcIndication)][0]
+    rxd = [x for x in inds if isinstance(x, RxDataIndication)][0]
+    assert crc.tb_crc_ok, "4-layer UpperPhy decode failed"
+    np.testing.assert_array_equal(rxd.tb_bits, tb)

@@ -95,3 +95,11 @@ g++ -o dump_prach dump_prach.o prach_detector_generic_impl.o prach_generator_imp
   accumulate.o add.o division.o modulus_square.o prod.o sc_prod.o \
   log_likelihood_ratio.o bit.o compare.o dot_prod.o aligned_vec.o
 echo "built $OUT/dump_prach"
+
+# Modulation mapper cross-validation dumper.
+g++ -O2 -std=c++17 $MINC -c $REF/lib/phy/upper/channel_modulation/modulation_mapper_lut_impl.cpp -o modulation_mapper_lut_impl.o
+g++ -O2 -std=c++17 $INC -c $REF/lib/srsvec/sc_prod.cpp -o sc_prod.o
+g++ -O2 -std=c++17 $MINC -c "$(dirname "$0")/dump_mod.cpp" -o dump_mod.o
+g++ -o dump_mod dump_mod.o modulation_mapper_lut_impl.o \
+  log_likelihood_ratio.o bit.o compare.o dot_prod.o sc_prod.o aligned_vec.o
+echo "built $OUT/dump_mod"

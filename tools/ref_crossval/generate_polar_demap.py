@@ -65,6 +65,28 @@ def main():
         data[f"{key}_llr"] = np.array(rows["LLR"], np.int32).astype(np.int8)
     np.savez_compressed(VEC / "demap_reference.npz", **data)
     print(f"wrote demap_reference.npz ({len(DEMAP_CONFIGS)} configs)")
+    generate_mod()
+
+
+
+
+
+MOD_CONFIGS = [(qm, 960, seed) for qm in (1, 2, 4, 6, 8) for seed in (0,)]
+
+
+def generate_mod():
+    data = {}
+    for qm, n, seed in MOD_CONFIGS:
+        out = subprocess.run(
+            [str(BUILD / "dump_mod"), str(qm), str(n), str(seed)],
+            capture_output=True, text=True, check=True).stdout.splitlines()
+        rows = {l.split()[0]: l.split()[1:] for l in out}
+        key = f"qm{qm}_n{n}_s{seed}"
+        data[f"{key}_bits"] = np.array(rows["BITS"], np.uint8)
+        sym = np.array([float.fromhex(x) for x in rows["SYM"]], np.float32)
+        data[f"{key}_sym"] = sym.reshape(-1, 2)
+    np.savez_compressed(VEC / "mod_reference.npz", **data)
+    print(f"wrote mod_reference.npz ({len(MOD_CONFIGS)} configs)")
 
 
 if __name__ == "__main__":
