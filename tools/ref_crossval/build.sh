@@ -103,3 +103,11 @@ g++ -O2 -std=c++17 $MINC -c "$(dirname "$0")/dump_mod.cpp" -o dump_mod.o
 g++ -o dump_mod dump_mod.o modulation_mapper_lut_impl.o \
   log_likelihood_ratio.o bit.o compare.o dot_prod.o sc_prod.o aligned_vec.o
 echo "built $OUT/dump_mod"
+
+# Channel equalizer cross-validation dumper.
+EINC="$INC -I$REF/lib/phy/upper/equalization"
+g++ -O2 -std=c++17 $EINC -c $REF/lib/phy/upper/equalization/channel_equalizer_generic_impl.cpp -o channel_equalizer_generic_impl.o
+g++ -O2 -std=c++17 $EINC -c "$(dirname "$0")/dump_eq.cpp" -o dump_eq.o
+g++ -o dump_eq dump_eq.o channel_equalizer_generic_impl.o \
+  log_likelihood_ratio.o bit.o compare.o dot_prod.o sc_prod.o aligned_vec.o
+echo "built $OUT/dump_eq"
