@@ -2,7 +2,12 @@
 """LDPC encoder/decoder throughput benchmark (the reference's
 tests/benchmarks/phy/upper/channel_coding/ldpc/*_benchmark.cpp equivalent).
 
-Sweeps base graphs and lifting sizes, measures Mbps on the current backend.
+Sweeps base graphs and lifting sizes, measures Mbps on the current backend,
+and asserts exact payload recovery at every size (the all-size correctness
+sweep on hardware).  NOTE: on the tunneled dev chip the wall-clock Mbps are
+dispatch-bound (a ~1 ms kernel behind a ~25 ms RTT); use
+tools/device_time.py op-profiles (bench.py ldpc lines) for device-bound
+throughput.
 
   python benchmarks/ldpc_bench.py [--decoder xla|pallas] [--batch 32] [--iters 6]
 """

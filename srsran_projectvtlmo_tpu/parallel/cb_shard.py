@@ -13,7 +13,7 @@ import functools
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ran.ldpc_params import BaseGraph
 from ..ops.ldpc.decode import ldpc_decode
@@ -36,7 +36,7 @@ def build_sharded_ldpc_decode(mesh: Mesh, bg: BaseGraph, z: int,
         local, mesh=mesh,
         in_specs=P(axis, None),
         out_specs=(P(axis, None), P(axis, None)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -75,6 +75,6 @@ def build_sharded_ldpc_decode_es(mesh: Mesh, bg: BaseGraph, z: int,
         local, mesh=mesh,
         in_specs=P(axis, None),
         out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
