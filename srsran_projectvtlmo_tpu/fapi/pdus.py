@@ -83,16 +83,19 @@ class PdschPdu:
 
 @dataclass(frozen=True)
 class CsiRsPdu:
-    """NZP-CSI-RS PDU, full mapping-table row set 1-12 (reference:
+    """NZP-CSI-RS PDU, full mapping-table row set 1-18 (reference:
     lib/fapi_adaptor/phy/fapi_to_phy_translator.cpp:336-351 process_csi,
-    lib/ran/csi_rs/csi_rs_pattern.cpp)."""
+    lib/ran/csi_rs/csi_rs_pattern.cpp; rows 13-18 per TS 38.211
+    Table 7.4.1.5.3-1 directly — the reference's own builder stops at 12)."""
 
     nof_rb: int
     prb_start: int = 0
     symbol: int = 4
+    #: Second time reference l_1 (rows 13/14/16/17 only).
+    symbol_l1: int = 8
     subcarrier_offset: int = 0
     scrambling_id: int = 0
-    #: TS 38.211 Table 7.4.1.5.3-1 row (1..12); ports/CDM derive from it.
+    #: TS 38.211 Table 7.4.1.5.3-1 row (1..18); ports/CDM derive from it.
     row: int = 2
     #: Frequency allocation references k_0..k_n (count depends on the row);
     #: empty = repeat subcarrier_offset.

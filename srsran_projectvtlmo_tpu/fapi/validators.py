@@ -218,8 +218,11 @@ def validate_csi_rs(pdu: pdus.CsiRsPdu, rep: ValidatorReport) -> None:
     _in_range(rep, m, p, "Nr of RB", pdu.nof_rb, 1, MAX_NOF_PRBS)
     _in_range(rep, m, p, "Start RB", pdu.prb_start, 0, MAX_NOF_PRBS - 1)
     _in_range(rep, m, p, "Symbol", pdu.symbol, 0, 13)
+    _in_range(rep, m, p, "Row", pdu.row, 1, 18)
     _in_range(rep, m, p, "Subcarrier offset", pdu.subcarrier_offset, 0, 11)
     _in_range(rep, m, p, "Scrambling id", pdu.scrambling_id, 0, 1023)
+    if pdu.row in (13, 14, 16, 17):
+        _in_range(rep, m, p, "Symbol l1", pdu.symbol_l1, pdu.symbol + 2, 13)
 
 
 def validate_srs(pdu: pdus.SrsPdu, rep: ValidatorReport) -> None:

@@ -19,16 +19,22 @@ import numpy as np
 
 from . import prg as prg_mod
 
-#: Ports per mapping table row (reference: csi_rs_config_helpers.cpp:124).
+#: Ports per mapping table row (reference: csi_rs_config_helpers.cpp:124;
+#: rows 13-18 cover the 24/32-port arrays the reference's own pattern
+#: builder stops short of — implemented here straight from TS 38.211
+#: Table 7.4.1.5.3-1).
 ROW_PORTS = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4, 6: 8, 7: 8, 8: 8, 9: 12, 10: 12,
-             11: 16, 12: 16}
-#: CDM type per row: "no", "fd2" (fd-CDM2) or "cdm4" (CDM4-FD2-TD2).
+             11: 16, 12: 16, 13: 24, 14: 24, 15: 24, 16: 32, 17: 32, 18: 32}
+#: CDM type per row: "no", "fd2" (fd-CDM2), "cdm4" (CDM4-FD2-TD2) or
+#: "cdm8" (CDM8-FD2-TD4).
 ROW_CDM = {1: "no", 2: "no", 3: "fd2", 4: "fd2", 5: "fd2", 6: "fd2",
-           7: "fd2", 8: "cdm4", 9: "fd2", 10: "cdm4", 11: "fd2", 12: "cdm4"}
-_CDM_SIZE = {"no": 1, "fd2": 2, "cdm4": 4}
+           7: "fd2", 8: "cdm4", 9: "fd2", 10: "cdm4", 11: "fd2", 12: "cdm4",
+           13: "fd2", 14: "cdm4", 15: "cdm8", 16: "fd2", 17: "cdm4",
+           18: "cdm8"}
+_CDM_SIZE = {"no": 1, "fd2": 2, "cdm4": 4, "cdm8": 8}
 #: Number of k references each row consumes.
 ROW_NOF_KREF = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 4, 7: 2, 8: 2, 9: 6, 10: 3,
-                11: 4, 12: 4}
+                11: 4, 12: 4, 13: 3, 14: 3, 15: 3, 16: 4, 17: 4, 18: 4}
 
 
 @dataclass(frozen=True)
@@ -71,8 +77,10 @@ def csi_rs_cinit(cfg: CsiRsConfig, symbol: int | None = None) -> int:
 
 
 def _kbar_lbar(cfg: CsiRsConfig) -> list[tuple[int, int]]:
-    """Per-port (k_bar, l_bar), following the reference row formulas."""
-    row, k, l0 = cfg.row, cfg.k_refs, cfg.symbol
+    """Per-port (k_bar, l_bar), following the reference row formulas
+    (rows 13-18: TS 38.211 Table 7.4.1.5.3-1 directly — both l_0 and l_1
+    references, CDM groups k-major within each l)."""
+    row, k, l0, l1 = cfg.row, cfg.k_refs, cfg.symbol, cfg.symbol_l1
     csize = _CDM_SIZE[ROW_CDM[row]]
     out = []
     for p in range(ROW_PORTS[row]):
@@ -87,7 +95,15 @@ def _kbar_lbar(cfg: CsiRsConfig) -> list[tuple[int, int]]:
             out.append((k[g % 2], l0 + g // 2))
         elif row == 11:
             out.append((k[g % 4], l0 + g // 4))
-        else:  # rows 6, 8, 9, 10, 12: k_ref indexed by CDM group
+        elif row == 13:
+            out.append((k[g % 3], (l0, l0 + 1, l1, l1 + 1)[g // 3]))
+        elif row == 14:
+            out.append((k[g % 3], l0 if g < 3 else l1))
+        elif row == 16:
+            out.append((k[g % 4], (l0, l0 + 1, l1, l1 + 1)[g // 4]))
+        elif row == 17:
+            out.append((k[g % 4], l0 if g < 4 else l1))
+        else:  # rows 6, 8, 9, 10, 12, 15, 18: k_ref indexed by CDM group
             out.append((k[g], l0))
     return out
 
@@ -114,10 +130,14 @@ def _sequence(cfg: CsiRsConfig, symbol: int, seq_len: int,
             + 1j * amp * (1 - 2 * bits[1::2])).astype(np.complex64)
 
 
-#: CDM weights (w_f, w_t) per in-group index (TS 38.211 Tables 7.4.1.5.3-2..4).
+#: CDM weights (w_f, w_t) per in-group index (TS 38.211 Tables 7.4.1.5.3-2..5).
 _W_FD2 = [((1, 1), (1,)), ((1, -1), (1,))]
 _W_CDM4 = [((1, 1), (1, 1)), ((1, -1), (1, 1)),
            ((1, 1), (1, -1)), ((1, -1), (1, -1))]
+_W_CDM8 = [((1, 1), (1, 1, 1, 1)), ((1, -1), (1, 1, 1, 1)),
+           ((1, 1), (1, -1, 1, -1)), ((1, -1), (1, -1, 1, -1)),
+           ((1, 1), (1, 1, -1, -1)), ((1, -1), (1, 1, -1, -1)),
+           ((1, 1), (1, -1, -1, 1)), ((1, -1), (1, -1, -1, 1))]
 
 
 def csi_rs_pattern(cfg: CsiRsConfig):
@@ -149,8 +169,10 @@ def csi_rs_pattern(cfg: CsiRsConfig):
             wf, wt = (1,), (1,)
         elif cdm == "fd2":
             wf, wt = _W_FD2[idx]
-        else:
+        elif cdm == "cdm4":
             wf, wt = _W_CDM4[idx]
+        else:
+            wf, wt = _W_CDM8[idx]
         if row == 1:
             k_off = np.array([kbar, kbar + 4, kbar + 8])
         elif cdm == "no":

@@ -45,8 +45,12 @@ def _tpu_roll_safe(z: int) -> bool:
     """Mosaic lane rotations are only correct when the lane count is a whole
     number of 128-lane vregs: at z in {40, 64, 96, 104, 208, ...} the
     COMPILED kernels silently corrupt the rotation (verified against the XLA
-    decoder on hardware; interpreter mode is fine).  Wrappers fall back to
-    the bit-exact XLA program for other lifting sizes."""
+    decoder on hardware; interpreter mode is fine).  Wrappers route other
+    lifting sizes to the PACKED-LANE kernel (`_es_bm_packed` /
+    `_decode_packed`), which pads the lane axis to a multiple of 128 and
+    rotates via the two-static-rolls + lane-select block roller
+    (`_make_block_roller`) — bit-exact on hardware for all 51 Z
+    (tools/ldpc_tpu_parity.py is the hardware parity harness)."""
     return z % 128 == 0
 
 

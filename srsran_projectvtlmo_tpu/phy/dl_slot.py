@@ -233,6 +233,7 @@ class DlSlotProgram:
             cfgc = CsiRsConfig(
                 nof_rb=pdu.nof_rb, prb_start=pdu.prb_start, row=pdu.row,
                 k_ref=pdu.k_ref, symbol=pdu.symbol, density=pdu.density,
+                symbol_l1=getattr(pdu, "symbol_l1", 8),
                 subcarrier_offset=pdu.subcarrier_offset,
                 scrambling_id=pdu.scrambling_id, slot=0)
             pat = csi_rs_pattern(cfgc)  # layout; values arrive per slot
@@ -535,6 +536,7 @@ def build_dl_slot_inputs(program: DlSlotProgram, request: DlTtiRequest,
         pat = csi_rs_pattern(CsiRsConfig(
             nof_rb=pdu.nof_rb, prb_start=pdu.prb_start, row=pdu.row,
             k_ref=pdu.k_ref, density=pdu.density, symbol=pdu.symbol,
+            symbol_l1=getattr(pdu, "symbol_l1", 8),
             subcarrier_offset=pdu.subcarrier_offset,
             scrambling_id=pdu.scrambling_id, slot=slot,
         ))

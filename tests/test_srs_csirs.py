@@ -1,6 +1,7 @@
 """SRS estimation and CSI-RS generation tests."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -78,3 +79,77 @@ def test_csi_rs_row11_fd_cdm2_oracle():
     # Ports within one CDM group share positions; both symbols l0 and l0+1 used.
     all_l = sorted({int(s[0]) for s, _, _ in pat})
     assert all_l == [l0, l0 + 1]
+
+
+@pytest.mark.parametrize("row,nports,nkref,cdm", [
+    (13, 24, 3, "fd2"), (14, 24, 3, "cdm4"), (15, 24, 3, "cdm8"),
+    (16, 32, 4, "fd2"), (17, 32, 4, "cdm4"), (18, 32, 4, "cdm8"),
+])
+def test_csi_rs_rows_13_18_table_oracle(row, nports, nkref, cdm):
+    """Rows 13-18 (24/32-port arrays) straight from TS 38.211 Table
+    7.4.1.5.3-1: per-port (k_bar, l_bar) references with both l_0 and l_1,
+    and CDM weights from Tables 7.4.1.5.3-2/4/5 (reference knows the port
+    counts at csi_rs_config_helpers.cpp:124; its pattern builder stops at
+    row 12, so the oracle here is the standard's table directly)."""
+    from srsran_projectvtlmo_tpu.ops.csi_rs import csi_rs_pattern
+
+    k_ref = (2, 4, 6, 8)[:nkref]
+    l0, l1 = 4, 9
+    cfg = CsiRsConfig(nof_rb=3, prb_start=2, row=row, k_ref=k_ref, symbol=l0,
+                      symbol_l1=l1, density="one", scrambling_id=11)
+    pat = csi_rs_pattern(cfg)
+    assert len(pat) == nports
+    csize = {"fd2": 2, "cdm4": 4, "cdm8": 8}[cdm]
+    td = {"fd2": 1, "cdm4": 2, "cdm8": 4}[cdm]
+    rbs = 2 + np.arange(3)
+
+    # Expected (k_bar, l_bar) per CDM group, k-major within each l reference.
+    def exp_group(g):
+        if row in (13, 16):
+            return k_ref[g % nkref], (l0, l0 + 1, l1, l1 + 1)[g // nkref]
+        if row in (14, 17):
+            return k_ref[g % nkref], l0 if g < nkref else l1
+        return k_ref[g], l0  # rows 15, 18
+
+    # CDM time weights (Tables 7.4.1.5.3-4/5); frequency weight is
+    # (+1, -1)^(idx odd) on the second subcarrier of the pair.
+    wt_cdm8 = [(1, 1, 1, 1), (1, 1, 1, 1), (1, -1, 1, -1), (1, -1, 1, -1),
+               (1, 1, -1, -1), (1, 1, -1, -1), (1, -1, -1, 1), (1, -1, -1, 1)]
+    for p, (symbols, subc, vals) in enumerate(pat):
+        g, idx = p // csize, p % csize
+        exp_k, exp_l = exp_group(g)
+        np.testing.assert_array_equal(symbols, exp_l + np.arange(td))
+        exp_subc = (rbs[:, None] * 12 + np.array([exp_k, exp_k + 1])).reshape(-1)
+        np.testing.assert_array_equal(subc, exp_subc)
+        base = pat[g * csize][2]  # in-group index 0 port
+        wf = 1 if idx % 2 == 0 else -1
+        if cdm == "fd2":
+            wt = (1,)
+        elif cdm == "cdm4":
+            wt = (1, 1) if idx < 2 else (1, -1)
+        else:
+            wt = wt_cdm8[idx]
+        # Compare per CDM time symbol: the in-group-0 port carries the raw
+        # per-symbol sequence (its w_f/w_t are all +1).
+        for si in range(td):
+            np.testing.assert_allclose(vals[si, 0::2], wt[si] * base[si, 0::2])
+            np.testing.assert_allclose(vals[si, 1::2],
+                                       wf * wt[si] * base[si, 1::2])
+    # Every port's per-RE magnitude is the configured QPSK amplitude.
+    for _, _, vals in pat:
+        np.testing.assert_allclose(np.abs(vals), 1.0, rtol=1e-6)
+
+
+def test_csi_rs_row_13_18_fapi_validation():
+    """Row range extended to 18; l1 rows validate the second time reference."""
+    from srsran_projectvtlmo_tpu.fapi import validators as v
+    from srsran_projectvtlmo_tpu.fapi.pdus import CsiRsPdu, DlTtiRequest
+
+    ok = DlTtiRequest(slot=0, csi_rs=(CsiRsPdu(
+        nof_rb=4, row=17, k_ref=(0, 2, 4, 6), symbol=4, symbol_l1=8),))
+    assert v.validate_dl_tti_request(ok).ok
+    bad_row = DlTtiRequest(slot=0, csi_rs=(CsiRsPdu(nof_rb=4, row=19),))
+    assert not v.validate_dl_tti_request(bad_row).ok
+    bad_l1 = DlTtiRequest(slot=0, csi_rs=(CsiRsPdu(
+        nof_rb=4, row=13, k_ref=(0, 2, 4), symbol=6, symbol_l1=6),))
+    assert not v.validate_dl_tti_request(bad_l1).ok
