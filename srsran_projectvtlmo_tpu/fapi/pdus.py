@@ -139,6 +139,25 @@ class PuschPdu:
     n_id: int = 0
     #: UCI multiplexing (HARQ-ACK bits riding on PUSCH) -- 0 = none.
     nof_harq_ack_bits: int = 0
+    #: CSI part-1 payload bits multiplexed on PUSCH -- 0 = none (reference:
+    #: ul_pusch_pdu uci fields, fapi_to_phy_translator.cpp:290-351).
+    nof_csi_part1_bits: int = 0
+    #: uci-part2 correspondence: part2_size_map[value(csi1 bits)] = CSI
+    #: part-2 payload size in bits (0 entries = part 2 absent for that part-1
+    #: value).  Empty = no CSI part 2.  Length must be 2**nof_csi_part1_bits;
+    #: a CONSTANT map runs single-pass in the fused program, a varying map
+    #: runs the two-phase part1->part2 protocol (phy.pusch_uci)
+    #: (reference: uci_part2_correspondence in the FAPI PUSCH PDU,
+    #: pusch_processor_impl.cpp:40-92).
+    part2_size_map: tuple[int, ...] = ()
+    #: DM-RS configuration type (TS 38.211 Section 6.4.1.1.3): 1 or 2
+    #: (reference: pusch_processor dmrs field, dmrs_pusch_estimator_impl.cpp).
+    dmrs_config_type: int = 1
+    #: Intra-slot frequency hopping: absolute slot symbol where the second
+    #: hop starts, and its PRB start (None = no hopping; reference:
+    #: port_channel_estimator_average_impl.cpp:238-330 hop loop).
+    hop_symbol: int | None = None
+    second_hop_prb: int | None = None
 
 
 @dataclass(frozen=True)
@@ -219,6 +238,12 @@ class UciIndication:
     uci_bits: np.ndarray | None
     valid: bool
     sr_detected: bool = False
+    #: CSI-on-PUSCH sections (reference: uci_pusch_pdu carries HARQ + CSI
+    #: part 1 + CSI part 2 parts, include/srsran/fapi/messages.h).
+    csi1_bits: np.ndarray | None = None
+    csi1_valid: bool = False
+    csi2_bits: np.ndarray | None = None
+    csi2_valid: bool = False
 
 
 @dataclass

@@ -160,6 +160,41 @@ def validate_pusch(pdu: pdus.PuschPdu, rep: ValidatorReport) -> None:
     if not (0.0 < pdu.target_code_rate < 1.0):
         rep.add(m, p, "Target code rate", pdu.target_code_rate, "(0, 1)")
     _in_range(rep, m, p, "HARQ-ACK bit length", pdu.nof_harq_ack_bits, 0, 1706)
+    _in_range(rep, m, p, "CSI part1 bit length", pdu.nof_csi_part1_bits, 0, 1706)
+    if pdu.part2_size_map:
+        if pdu.nof_csi_part1_bits < 1 or pdu.nof_csi_part1_bits > 11:
+            rep.add(m, p, "CSI part1 bit length", pdu.nof_csi_part1_bits,
+                    "1..11 when a part2 map indexes the part-1 value")
+        elif len(pdu.part2_size_map) != (1 << pdu.nof_csi_part1_bits):
+            rep.add(m, p, "CSI part2 map length", len(pdu.part2_size_map),
+                    f"2**nof_csi_part1_bits = {1 << pdu.nof_csi_part1_bits}")
+        for sz in pdu.part2_size_map:
+            if not (0 <= sz <= 1706):
+                rep.add(m, p, "CSI part2 size", sz, "0..1706")
+    if pdu.dmrs_config_type not in (1, 2):
+        rep.add(m, p, "DMRS config type", pdu.dmrs_config_type, "1 or 2")
+    if pdu.hop_symbol is not None:
+        if pdu.second_hop_prb is None:
+            rep.add(m, p, "Second hop PRB", None, "set when hopping")
+        else:
+            _in_range(rep, m, p, "Second hop PRB", pdu.second_hop_prb, 0,
+                      MAX_NOF_PRBS - pdu.rb_size)
+        if not (pdu.start_symbol < pdu.hop_symbol
+                < pdu.start_symbol + pdu.nof_symbols):
+            rep.add(m, p, "Hop symbol", pdu.hop_symbol,
+                    "inside the allocation's symbol span")
+        if pdu.nof_layers != 1:
+            rep.add(m, p, "Number of layers", pdu.nof_layers,
+                    "1 with intra-slot hopping")
+        if pdu.dmrs_config_type != 1:
+            rep.add(m, p, "DMRS config type", pdu.dmrs_config_type,
+                    "1 with intra-slot hopping")
+        # Each hop needs at least one DM-RS symbol for its channel estimate.
+        for hop, pred in ((0, lambda s: s < pdu.hop_symbol),
+                          (1, lambda s: s >= pdu.hop_symbol)):
+            if not any(pred(s) for s in pdu.dmrs_symbols):
+                rep.add(m, p, "DMRS symbols", tuple(pdu.dmrs_symbols),
+                        f"at least one DM-RS symbol in hop {hop}")
     _validate_alloc(rep, m, p, pdu.rb_start, pdu.rb_size, pdu.start_symbol,
                     pdu.nof_symbols, pdu.dmrs_symbols)
     if pdu.new_data and pdu.rv != 0:

@@ -88,9 +88,16 @@ class PuschRxConfig(SchChainConfig):
     #: Per-batch-element cell parameters as *inputs*: the DM-RS reference and
     #: descrambling signs become runtime arrays instead of baked constants, so
     #: ONE compiled program serves many cells with different rnti/n_id/slot
-    #: (the multi-cell du_low sharding path).  UCI-on-PUSCH and hopping keep
-    #: the static mode.
+    #: (the multi-cell du_low sharding path).  Compatible with UCI-on-PUSCH
+    #: (fix signs ride as inputs), intra-slot hopping (per-hop DM-RS refs are
+    #: inputs) and DM-RS type 2.
     dynamic_params: bool = False
+    #: False = stop after the frontend + ACK/CSI-part-1 decode and return the
+    #: descrambled (punct-zeroed) codeword LLRs ("codeword_llr") instead of
+    #: demux+LDPC-decoding the SCH: phase A of the CSI part1->part2 protocol
+    #: (the part-2 size is a host decision; `build_pusch_phase_b` finishes
+    #: per size bucket).  Requires nof_csi_part1_bits > 0.
+    decode_sch: bool = True
     #: DM-RS configuration type (TS 38.211 6.4.1.1.3): type 1 = comb-2
     #: pilots (6/RB per CDM group, group delta 1), type 2 = adjacent pairs
     #: at k = 6n + k' (4/RB per group, group delta 2).  The reference
@@ -219,6 +226,165 @@ def decode_uci_field(llr_field, nof_payload_bits: int, qm: int):
     return bits, ok.astype(jnp.float32)
 
 
+def _decode_sch_groups(cfg: PuschRxConfig, parts, cb_ranges, harq_buffer):
+    """Shared SCH decode tail (traced inside a jitted caller): per-equal-E
+    group HARQ combining + early-stop LDPC decode + CB/TB CRC.
+
+    `parts` are the per-group dematched soft buffers (B, nof_cb_in_group, N);
+    `cb_ranges` the group [a, b) CB index ranges.  Used by the fused rx
+    program and by the CSI part-2 phase-B program (`build_pusch_phase_b`).
+    Returns {tb_crc_ok, cb_crc_ok, tb_bits_cb, ldpc_iterations, harq_soft}.
+    """
+    seg = cfg.segmentation
+    z = seg.lifting_size
+    b = parts[0].shape[0]
+    c = sum(bnd - a for a, bnd in cb_ranges)
+    # HARQ combining per equal-E group: the full (B, C, N) soft buffer is
+    # only concatenated when a caller will store it (emit_harq_soft) —
+    # the decoder itself runs per group, straight off each group's
+    # dematch output.
+    if harq_buffer is not None:
+        parts = [rm.harq_combine(harq_buffer[:, a:bnd], part)
+                 for (a, bnd), part in zip(cb_ranges, parts)]
+    soft = (None if not cfg.emit_harq_soft else
+            (parts[0] if len(parts) == 1
+             else jnp.concatenate(parts, axis=1)))
+
+    kp = seg.nof_payload_bits_per_cb
+    if cfg.ldpc_early_stop:
+        # Per-CB CRC-gated early stop inside the decoder (the kernel's CRC
+        # verdict doubles as the CB CRC check).
+        crc_cb = ("CRC24B" if seg.cb_crc_bits
+                  else ("CRC24A" if seg.tb_crc_bits == 24 else "CRC16"))
+        if _resolve_use_pallas(cfg.use_pallas_decoder):
+            from ..ops.ldpc.decode_pallas import ldpc_decode_pallas_es_bm
+
+            dec = functools.partial(
+                ldpc_decode_pallas_es_bm, bg=seg.base_graph, z=z,
+                crc_name=crc_cb, nof_crc_covered_bits=kp,
+                max_iterations=cfg.nof_ldpc_iterations)
+        else:
+            from ..ops.ldpc.decode import ldpc_decode_es
+
+            def dec(llr_flat):
+                return ldpc_decode_es(
+                    llr_flat, seg.base_graph, z, crc_cb, kp,
+                    nof_iterations=cfg.nof_ldpc_iterations)
+        hards, oks, its = [], [], []
+        for part in parts:
+            cg = part.shape[1]
+            h_g, _, ok_g, it_g = dec(part.reshape(b * cg, -1))
+            hards.append(h_g.reshape(b, cg, -1))
+            oks.append(ok_g.reshape(b, cg))
+            its.append(it_g.reshape(b, cg))
+        hard = hards[0] if len(hards) == 1 else jnp.concatenate(hards, 1)
+        cb_ok = oks[0] if len(oks) == 1 else jnp.concatenate(oks, 1)
+        ldpc_iters = its[0] if len(its) == 1 else jnp.concatenate(its, 1)
+    else:
+        if _resolve_use_pallas(cfg.use_pallas_decoder):
+            from .decode_select import decode_fn
+
+            dec2 = lambda x: decode_fn(True)(x, seg.base_graph, z,
+                                             cfg.nof_ldpc_iterations)[0]
+        else:
+            dec2 = lambda x: ldpc_decode(
+                x, seg.base_graph, z,
+                nof_iterations=cfg.nof_ldpc_iterations)[0]
+        hards = []
+        for part in parts:
+            cg = part.shape[1]
+            hards.append(dec2(part.reshape(b * cg, -1)).reshape(b, cg, -1))
+        hard = hards[0] if len(hards) == 1 else jnp.concatenate(hards, 1)
+        cb_ok = None
+        ldpc_iters = jnp.full((b, c), cfg.nof_ldpc_iterations, jnp.int32)
+
+    payload_bits = hard[:, :, :kp]
+    if seg.cb_crc_bits:
+        if cb_ok is None:
+            cb_ok = crc_check_device(payload_bits, "CRC24B")
+        payload3 = payload_bits[:, :, : kp - seg.cb_crc_bits]
+    else:
+        if cb_ok is None:
+            cb_ok = jnp.ones((b, c), bool)
+        payload3 = payload_bits
+    crc_name = "CRC24A" if seg.tb_crc_bits == 24 else "CRC16"
+    # TB CRC straight off the (B, C, Kpay) planes; the TB payload is
+    # likewise returned per-CB ("tb_bits_cb") because the device-side
+    # (B, C, Kpay) -> (B, tbs) flatten lowers to an XLA loop-ized
+    # relayout copy worth ~9% of the pipeline — `flatten_tb_bits` does
+    # it for free on fetched numpy arrays.
+    tb_ok = crc_check_device_cbs(payload3, crc_name,
+                                 cfg.tbs + seg.tb_crc_bits)
+    return {
+        "tb_crc_ok": tb_ok,
+        "cb_crc_ok": cb_ok,
+        "tb_bits_cb": payload3,
+        "ldpc_iterations": ldpc_iters,
+        "harq_soft": soft,
+    }
+
+
+def build_pusch_phase_b(cfg: PuschRxConfig, nof_csi_part2_bits: int):
+    """Phase B of the CSI part1->part2 protocol, one program per part-2 size
+    bucket: codeword LLRs from phase A (`decode_sch=False`) -> CSI part 2
+    decode + SCH rate recovery (+HARQ combining) + LDPC decode + CRCs.
+
+    Returns jitted fn(llr (B, G) int8, harq_buffer=None, csi2_fix=None):
+    `csi2_fix` is the (B, E_csi2) placeholder fix-sign input in dynamic mode
+    (rnti/n_id ride as values); baked from cfg's scrambling otherwise.
+    reference: pusch_processor_impl.cpp:40-92 (csi-part1-feedback),
+    ulsch_demultiplex_impl.cpp:241 (set_csi_part2).
+    """
+    qm = bits_per_symbol(cfg.modulation)
+    seg = cfg.segmentation
+    z = seg.lifting_size
+    plan, info = cfg.demux_plan(nof_csi_part2_bits)
+    es = cfg.cb_rate_match_sizes(info.nof_ul_sch_bits)
+    c = seg.nof_cb
+    offsets = np.concatenate([[0], np.cumsum(es)]).astype(int)
+    groups: dict[int, list[int]] = {}
+    for j in range(c):
+        groups.setdefault(int(es[j]), []).append(j)
+    if not cfg.dynamic_params and nof_csi_part2_bits:
+        from ..ops.ulsch_demux import placeholder_fix_signs
+
+        scr_bits = prg_mod.gold_sequence_bits(cfg.scrambling_cinit(),
+                                              cfg.nof_codeword_bits)
+        csi2_fix_static = placeholder_fix_signs(
+            plan.csi2_bit_idx, nof_csi_part2_bits, qm, scr_bits)
+
+    @jax.jit
+    def phase_b(llr, harq_buffer=None, csi2_fix=None):
+        b = llr.shape[0]
+        out = {}
+        if nof_csi_part2_bits:
+            csi2_llr = llr[:, jnp.asarray(plan.csi2_bit_idx)].astype(jnp.int32)
+            fix = (csi2_fix.astype(jnp.int32) if cfg.dynamic_params
+                   else jnp.asarray(csi2_fix_static, jnp.int32))
+            out["csi2_bits"], out["csi2_metric"] = decode_uci_field(
+                csi2_llr * fix, nof_csi_part2_bits, qm)
+        sch_llr = llr[:, jnp.asarray(plan.sch_bit_idx)]
+        parts = []
+        for e_val, js in groups.items():
+            assert js == list(range(js[0], js[-1] + 1)), "E groups not contiguous"
+            cb_llr = sch_llr[:, offsets[js[0]]:offsets[js[-1] + 1]]
+            cb_llr = cb_llr.reshape(b, len(js), e_val)
+            parts.append(rm.rate_dematch(cb_llr, seg.base_graph, z,
+                                         seg.nof_filler_bits_per_cb, cfg.rv,
+                                         e_val, qm))
+        out.update(_decode_sch_groups(
+            cfg, parts, [(js[0], js[-1] + 1) for _, js in groups.items()],
+            harq_buffer))
+        return out
+
+    return phase_b
+
+
+@functools.lru_cache(maxsize=None)
+def cached_pusch_phase_b(cfg: PuschRxConfig, nof_csi_part2_bits: int):
+    return build_pusch_phase_b(cfg, nof_csi_part2_bits)
+
+
 def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     """Jitted fn: grid (B, P, nsym, nsubc_alloc, 2)[, harq_buffer] -> result dict.
 
@@ -236,14 +402,18 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
     if hopping:
         assert cfg.second_hop_prb is not None, "hop_symbol needs second_hop_prb"
         assert cfg.nof_layers == 1, "frequency hopping supported for 1 layer"
+    if not cfg.decode_sch:
+        assert cfg.nof_csi_part1_bits > 0 and cfg.nof_csi_part2_bits == 0, \
+            "decode_sch=False is phase A of the CSI protocol (csi1>0, csi2=0)"
     if cfg.dynamic_params:
-        assert not hopping, "dynamic_params excludes intra-slot hopping"
-        # UCI-on-PUSCH is dynamic-compatible: the Section 6.2.7 placement
-        # plan depends only on SHAPE (payload sizes, allocation); the
-        # rnti/n_id-derived values (descrambling signs, placeholder fix
-        # signs) arrive as runtime inputs, so per-UE churn with ACK/CSI on
-        # PUSCH reuses one compiled program
+        # UCI-on-PUSCH, hopping and DM-RS type 2 are all dynamic-compatible:
+        # the Section 6.2.7 placement plan and the hop symbol split depend
+        # only on SHAPE (payload sizes, allocation, hop symbol); the
+        # rnti/n_id/slot-derived values (per-hop DM-RS references,
+        # descrambling signs, placeholder fix signs) arrive as runtime
+        # inputs, so per-UE churn reuses one compiled program
         # (reference analog: fapi_to_phy_translator.cpp:290-351).
+        pass
 
     def _hop_of(sym_abs: int) -> int:
         return 1 if hopping and sym_abs >= cfg.hop_symbol else 0
@@ -253,13 +423,12 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
 
     dmrs_type2 = cfg.dmrs_config_type == 2
     if dmrs_type2:
-        assert not hopping and not cfg.dynamic_params, \
-            "DM-RS type 2 supports the static non-hopping path"
+        assert not hopping, "DM-RS type 2 supports the non-hopping path"
         from ..ops.dmrs import dmrs_type2_sequence
 
         ref = np.stack([
             dmrs_type2_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id,
-                                cfg.nof_rb)
+                                cfg.nof_rb, prb_start=cfg.rb_start)
             for s in cfg.dmrs_symbols
         ])
     else:
@@ -557,6 +726,30 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                                        else jnp.asarray(csi1_fix, jnp.int32))
                 uci_out["csi1_bits"], uci_out["csi1_metric"] = decode_uci_field(
                     csi1_llr, cfg.nof_csi_part1_bits, qm)
+            if not cfg.decode_sch:
+                # Phase A of the CSI part1->part2 protocol: stop before the
+                # part2/SCH demux (their placement depends on the part-2
+                # size, a host decision from the decoded part 1) and hand
+                # the descrambled punct-zeroed codeword LLRs to
+                # `build_pusch_phase_b` (reference sizes part 2 from decoded
+                # part 1 inside the processor,
+                # pusch_processor_impl.cpp:40-92).
+                from ..ops.evm import evm as evm_fn
+
+                if eq_nvar is not None:
+                    snr_a = jnp.mean(1.0 / jnp.maximum(eq_nvar, 1e-9), axis=-1)
+                else:
+                    snr_a = jnp.mean(1.0 / jnp.maximum(nv_struct[:, 0], 1e-9),
+                                     axis=(-1, -2))
+                return {
+                    "codeword_llr": llr,
+                    "harq_ack_bits": ack_bits,
+                    "harq_ack_metric": ack_metric,
+                    "snr_db": 10.0 * jnp.log10(jnp.maximum(snr_a, 1e-9)),
+                    "evm": evm_fn(eq, cfg.modulation),
+                    "ta_s": jnp.mean(ta, axis=0),
+                    **uci_out,
+                }
             if cfg.nof_csi_part2_bits:
                 csi2_llr = llr[:, jnp.asarray(plan.csi2_bit_idx)].astype(jnp.int32)
                 csi2_llr = csi2_llr * (d_csi2.astype(jnp.int32) if d_csi2 is not None
@@ -573,83 +766,9 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
                 parts.append(rm.rate_dematch(cb_llr, seg.base_graph, z,
                                              seg.nof_filler_bits_per_cb, cfg.rv,
                                              e_val, qm))
-        # HARQ combining per equal-E group: the full (B, C, N) soft buffer is
-        # only concatenated when a caller will store it (emit_harq_soft) —
-        # the decoder itself runs per group, straight off each group's
-        # dematch output.
-        cb_ranges = [(js[0], js[-1] + 1) for _, js in groups.items()]
-        if harq_buffer is not None:
-            parts = [rm.harq_combine(harq_buffer[:, a:bnd], part)
-                     for (a, bnd), part in zip(cb_ranges, parts)]
-        soft = (None if not cfg.emit_harq_soft else
-                (parts[0] if len(parts) == 1
-                 else jnp.concatenate(parts, axis=1)))
-
-        kp = seg.nof_payload_bits_per_cb
-        if cfg.ldpc_early_stop:
-            # Per-CB CRC-gated early stop inside the decoder (the kernel's CRC
-            # verdict doubles as the CB CRC check).
-            crc_cb = ("CRC24B" if seg.cb_crc_bits
-                      else ("CRC24A" if seg.tb_crc_bits == 24 else "CRC16"))
-            if _resolve_use_pallas(cfg.use_pallas_decoder):
-                from ..ops.ldpc.decode_pallas import ldpc_decode_pallas_es_bm
-
-                dec = functools.partial(
-                    ldpc_decode_pallas_es_bm, bg=seg.base_graph, z=z,
-                    crc_name=crc_cb, nof_crc_covered_bits=kp,
-                    max_iterations=cfg.nof_ldpc_iterations)
-            else:
-                from ..ops.ldpc.decode import ldpc_decode_es
-
-                def dec(llr_flat):
-                    return ldpc_decode_es(
-                        llr_flat, seg.base_graph, z, crc_cb, kp,
-                        nof_iterations=cfg.nof_ldpc_iterations)
-            hards, oks, its = [], [], []
-            for part in parts:
-                cg = part.shape[1]
-                h_g, _, ok_g, it_g = dec(part.reshape(b * cg, -1))
-                hards.append(h_g.reshape(b, cg, -1))
-                oks.append(ok_g.reshape(b, cg))
-                its.append(it_g.reshape(b, cg))
-            hard = hards[0] if len(hards) == 1 else jnp.concatenate(hards, 1)
-            cb_ok = oks[0] if len(oks) == 1 else jnp.concatenate(oks, 1)
-            ldpc_iters = its[0] if len(its) == 1 else jnp.concatenate(its, 1)
-        else:
-            if _resolve_use_pallas(cfg.use_pallas_decoder):
-                from .decode_select import decode_fn
-
-                dec2 = lambda x: decode_fn(True)(x, seg.base_graph, z,
-                                                 cfg.nof_ldpc_iterations)[0]
-            else:
-                dec2 = lambda x: ldpc_decode(
-                    x, seg.base_graph, z,
-                    nof_iterations=cfg.nof_ldpc_iterations)[0]
-            hards = []
-            for part in parts:
-                cg = part.shape[1]
-                hards.append(dec2(part.reshape(b * cg, -1)).reshape(b, cg, -1))
-            hard = hards[0] if len(hards) == 1 else jnp.concatenate(hards, 1)
-            cb_ok = None
-            ldpc_iters = jnp.full((b, c), cfg.nof_ldpc_iterations, jnp.int32)
-
-        payload_bits = hard[:, :, :kp]
-        if seg.cb_crc_bits:
-            if cb_ok is None:
-                cb_ok = crc_check_device(payload_bits, "CRC24B")
-            payload3 = payload_bits[:, :, : kp - seg.cb_crc_bits]
-        else:
-            if cb_ok is None:
-                cb_ok = jnp.ones((b, c), bool)
-            payload3 = payload_bits
-        crc_name = "CRC24A" if seg.tb_crc_bits == 24 else "CRC16"
-        # TB CRC straight off the (B, C, Kpay) planes; the TB payload is
-        # likewise returned per-CB ("tb_bits_cb") because the device-side
-        # (B, C, Kpay) -> (B, tbs) flatten lowers to an XLA loop-ized
-        # relayout copy worth ~9% of the pipeline — `flatten_tb_bits` does
-        # it for free on fetched numpy arrays.
-        tb_ok = crc_check_device_cbs(payload3, crc_name,
-                                     cfg.tbs + seg.tb_crc_bits)
+        sch_out = _decode_sch_groups(
+            cfg, parts, [(js[0], js[-1] + 1) for _, js in groups.items()],
+            harq_buffer)
 
         if eq_nvar is not None:
             snr = jnp.mean(1.0 / jnp.maximum(eq_nvar, 1e-9), axis=-1)
@@ -666,16 +785,12 @@ def build_pusch_rx_from_grid(cfg: PuschRxConfig):
         evm_val = evm_fn(eq, cfg.modulation)
 
         return {
-            "tb_crc_ok": tb_ok,
             "evm": evm_val,
-            "cb_crc_ok": cb_ok,
-            "tb_bits_cb": payload3,
             "snr_db": snr_db,
             "ta_s": jnp.mean(ta, axis=0),
-            "ldpc_iterations": ldpc_iters,
-            "harq_soft": soft,
             "harq_ack_bits": ack_bits,
             "harq_ack_metric": ack_metric,
+            **sch_out,
             **uci_out,
         }
 

@@ -128,7 +128,7 @@ def build_ulsch_tx_slot(cfg: PuschRxConfig, nof_csi_part2_bits: int | None = Non
 
         ref = np.stack([
             dmrs_type2_sequence(cfg.slot, cfg.start_symbol + s, cfg.n_id,
-                                cfg.nof_rb)
+                                cfg.nof_rb, prb_start=cfg.rb_start)
             for s in cfg.dmrs_symbols
         ])
         pil_subc = dmrs_type2_subcarriers(cfg.nof_rb)

@@ -27,7 +27,6 @@ from ..models.pusch_rx import (
     PuschRxConfig, cached_pusch_rx_from_grid, flatten_tb_bits)
 from ..ops import ofdm as ofdm_mod
 from ..ops import prg as prg_mod
-from ..ops.dmrs import dmrs_type1_sequence
 from ..phy.harq import RxBufferPool
 from ..phy.upper_phy import CellConfig, UpperPhy
 from ..utils.cplx import np_to_pair
@@ -37,10 +36,16 @@ from .distributed import RanMesh, make_ran_mesh
 
 def _static_key(pdu) -> tuple:
     """Shape-determining PUSCH PDU fields (params that may vary per cell ride
-    as inputs instead)."""
+    as inputs instead).  The second-hop PRB and the part2 map are included so
+    one batched grid slice / one host decision table serves every cell."""
     return (pdu.rb_start, pdu.rb_size, pdu.modulation, pdu.target_code_rate,
             pdu.rv, pdu.nof_layers, pdu.start_symbol, pdu.nof_symbols,
-            tuple(pdu.dmrs_symbols), pdu.nof_harq_ack_bits)
+            tuple(pdu.dmrs_symbols), pdu.nof_harq_ack_bits,
+            getattr(pdu, "nof_csi_part1_bits", 0),
+            tuple(getattr(pdu, "part2_size_map", ()) or ()),
+            getattr(pdu, "dmrs_config_type", 1),
+            getattr(pdu, "hop_symbol", None),
+            getattr(pdu, "second_hop_prb", None))
 
 
 class MultiCellUpperPhy:
@@ -171,55 +176,62 @@ class MultiCellUpperPhy:
     def _process_pusch_batched(self, slot, pdus, grid, out):
         cfg = self.cfg
         p0 = pdus[0]
-        exp = self.expert
         nof_ack = getattr(p0, "nof_harq_ack_bits", 0)
-        rx_cfg = PuschRxConfig(
-            nof_rb=p0.rb_size, modulation=p0.modulation,
-            target_code_rate=p0.target_code_rate, nof_layers=p0.nof_layers,
-            nof_ofdm_symbols=p0.nof_symbols,
-            dmrs_symbols=tuple(s - p0.start_symbol for s in p0.dmrs_symbols),
-            rv=p0.rv, start_symbol=p0.start_symbol, rb_start=p0.rb_start,
-            nof_rx_ports=cfg.nof_rx_ports, dft_size=cfg.dft_size,
-            numerology=cfg.numerology, dynamic_params=True,
-            nof_harq_ack_bits=nof_ack,
-            nof_ldpc_iterations=exp.pusch_decoder_max_iterations,
-            use_pallas_decoder=exp.use_pallas_decoder,
-        )
-        k0 = p0.rb_start * 12
-        sub = grid[:, :, p0.start_symbol:p0.start_symbol + p0.nof_symbols,
-                   k0:k0 + rx_cfg.nof_subc, :]
+        nof_csi1 = getattr(p0, "nof_csi_part1_bits", 0)
+        p2map = tuple(getattr(p0, "part2_size_map", ()) or ())
+        const_csi2 = 0
+        two_phase = False
+        if nof_csi1 and p2map:
+            if len(set(p2map)) == 1:
+                const_csi2 = p2map[0]
+            else:
+                two_phase = True
+        # One shape-keyed dynamic config for the whole cell batch (shared
+        # with the per-cell UpperPhy program cache).
+        rx_cfg = self.cell_phys[0]._pusch_rx_cfg(
+            slot, p0, nof_csi2=const_csi2, two_phase=two_phase)
+        from ..phy.upper_phy import (
+            extract_pusch_allocation, pusch_dmrs_ref_values)
 
-        # Per-cell DM-RS references, descrambling signs (and, with ACK on
+        sub = extract_pusch_allocation(grid, p0)
+
+        # Per-cell DM-RS references, descrambling signs (and, with UCI on
         # PUSCH, placeholder fix signs) as inputs.
-        if nof_ack:
+        qm = None
+        if nof_ack or nof_csi1:
             from ..models.pusch_rx import cached_demux_plan
             from ..ops.ulsch_demux import placeholder_fix_signs
             from ..ran.modulation import bits_per_symbol
 
-            plan, _ = cached_demux_plan(rx_cfg)
-        refs, signs, ack_fixes = [], [], []
+            qm = bits_per_symbol(p0.modulation)
+            plan, _ = cached_demux_plan(rx_cfg, 0 if two_phase else const_csi2)
+        refs, signs, scrs = [], [], []
+        ack_fixes, csi1_fixes, csi2_fixes = [], [], []
         for pdu in pdus:
-            ref = np.stack([
-                dmrs_type1_sequence(slot, s, pdu.n_id, pdu.rb_size,
-                                    prb_start=pdu.rb_start)
-                for s in pdu.dmrs_symbols
-            ])
-            refs.append(np_to_pair(ref))
+            refs.append(np_to_pair(pusch_dmrs_ref_values(slot, pdu)))
             cinit = ((pdu.rnti << 15) + pdu.n_id) & 0x7FFFFFFF
             scr = prg_mod.gold_sequence_bits(cinit, rx_cfg.nof_codeword_bits)
+            scrs.append(scr)
             signs.append(1 - 2 * scr.astype(np.int8))
             if nof_ack:
                 ack_fixes.append(placeholder_fix_signs(
-                    plan.ack_bit_idx, nof_ack,
-                    bits_per_symbol(p0.modulation), scr))
+                    plan.ack_bit_idx, nof_ack, qm, scr))
+            if nof_csi1:
+                csi1_fixes.append(placeholder_fix_signs(
+                    plan.csi1_bit_idx, nof_csi1, qm, scr))
+            if const_csi2:
+                csi2_fixes.append(placeholder_fix_signs(
+                    plan.csi2_bit_idx, const_csi2, qm, scr))
         mesh = self.rmesh.mesh
         cell_sh = lambda x, nd: jax.device_put(
             x, NamedSharding(mesh, P("cell", *([None] * (nd - 1)))))
         ref_in = cell_sh(jnp.asarray(np.stack(refs)), 4)
         signs_in = cell_sh(jnp.asarray(np.stack(signs)), 2)
         uci_fix = None
-        if nof_ack:
-            uci_fix = (cell_sh(jnp.asarray(np.stack(ack_fixes)), 2), None, None)
+        if nof_ack or nof_csi1:
+            mk = lambda rows: (cell_sh(jnp.asarray(np.stack(rows)), 2)
+                               if rows else None)
+            uci_fix = (mk(ack_fixes), mk(csi1_fixes), mk(csi2_fixes))
 
         # HARQ riding the batch: retransmitting cells contribute their stored
         # soft bits, new-data cells an all-zero buffer (the promotion sum is
@@ -249,27 +261,90 @@ class MultiCellUpperPhy:
                 harq_rows.append(jnp.zeros((ncb, nbits), jnp.int8))
         harq_in = cell_sh(jnp.stack(harq_rows), 3)
 
-        rx = cached_pusch_rx_from_grid(rx_cfg)
-        res = rx(sub, harq_in, ref_in, signs_in, uci_fix)
-        ok = to_host(res["tb_crc_ok"])
-        bits = flatten_tb_bits(to_host(res["tb_bits_cb"]), rx_cfg.tbs)
-        ack_bits = to_host(res["harq_ack_bits"]) if nof_ack else None
-        ack_metric = to_host(res["harq_ack_metric"]) if nof_ack else None
+        csi1_np = csi1_metric = None
+        csi2_rows = csi2_metric = None
+        if two_phase:
+            # Batched part1->part2 protocol: ONE phase-A program over the
+            # cell axis, then one phase-B dispatch per part2-size bucket on
+            # that bucket's cell rows (a phase-B program compiles per
+            # (size, bucket-cardinality) pair).
+            from ..models.pusch_rx import cached_pusch_phase_b
+            from ..phy.pusch_uci import (
+                PuschUciConfig, PuschUciProcessor, _phase_b_cfg)
+
+            proc = PuschUciProcessor(PuschUciConfig(rx=rx_cfg,
+                                                    part2_size_map=p2map))
+            a = proc._phase_a(sub, None, ref_in, signs_in, uci_fix)
+            csi1_np = to_host(a["csi1_bits"])
+            csi1_metric = to_host(a["csi1_metric"])
+            sizes = proc.csi2_sizes(csi1_np)
+            ncell = len(pdus)
+            ok = np.zeros(ncell, bool)
+            bits = [None] * ncell
+            harq_soft = [None] * ncell
+            csi2_rows = [None] * ncell
+            csi2_metric = np.zeros(ncell, np.float32)
+            cfg_b = _phase_b_cfg(rx_cfg)
+            llr = a["codeword_llr"]
+            for size in sorted(set(sizes)):
+                idxs = [i for i, s in enumerate(sizes) if s == size]
+                sel = jnp.asarray(idxs)
+                pb = cached_pusch_phase_b(cfg_b, size)
+                csi2_fix = (proc.csi2_fix_signs(size, [scrs[i] for i in idxs])
+                            if size else None)
+                bout = pb(llr[sel], harq_in[sel], csi2_fix)
+                ok_b = to_host(bout["tb_crc_ok"])
+                cb_b = to_host(bout["tb_bits_cb"])
+                for row, i in enumerate(idxs):
+                    ok[i] = bool(ok_b[row])
+                    bits[i] = flatten_tb_bits(cb_b[row][None], rx_cfg.tbs)[0]
+                    harq_soft[i] = bout["harq_soft"][row]
+                    if size:
+                        csi2_rows[i] = to_host(bout["csi2_bits"])[row]
+                        csi2_metric[i] = float(to_host(bout["csi2_metric"])[row])
+            ack_bits = to_host(a["harq_ack_bits"]) if nof_ack else None
+            ack_metric = to_host(a["harq_ack_metric"]) if nof_ack else None
+        else:
+            rx = cached_pusch_rx_from_grid(rx_cfg)
+            res = rx(sub, harq_in, ref_in, signs_in, uci_fix)
+            ok = to_host(res["tb_crc_ok"])
+            bits = flatten_tb_bits(to_host(res["tb_bits_cb"]), rx_cfg.tbs)
+            harq_soft = res["harq_soft"]
+            ack_bits = to_host(res["harq_ack_bits"]) if nof_ack else None
+            ack_metric = to_host(res["harq_ack_metric"]) if nof_ack else None
+            if nof_csi1:
+                csi1_np = to_host(res["csi1_bits"])
+                csi1_metric = to_host(res["csi1_metric"])
+                if const_csi2:
+                    csi2_rows = to_host(res["csi2_bits"])
+                    csi2_metric = to_host(res["csi2_metric"])
         for c, pdu in enumerate(pdus):
             if buf_idxs[c] is not None:
                 self.harq_pools[c].store(buf_idxs[c], ncb, nbits,
-                                         res["harq_soft"][c])
+                                         harq_soft[c])
             out[c].append(CrcIndication(slot=slot, rnti=pdu.rnti,
                                         harq_id=pdu.harq_id,
                                         tb_crc_ok=bool(ok[c])))
             out[c].append(RxDataIndication(
                 slot=slot, rnti=pdu.rnti, harq_id=pdu.harq_id,
                 tb_bits=bits[c] if ok[c] else None))
-            if nof_ack:
+            if nof_ack or nof_csi1:
                 from ..fapi.pdus import UciIndication
 
-                out[c].append(UciIndication(
-                    slot=slot, rnti=pdu.rnti, harq_bits=ack_bits[c],
-                    uci_bits=None, valid=bool(ack_metric[c] > 0.0)))
+                uci = UciIndication(
+                    slot=slot, rnti=pdu.rnti,
+                    harq_bits=(ack_bits[c] if nof_ack
+                               else np.empty(0, np.uint8)),
+                    uci_bits=None,
+                    valid=bool(ack_metric[c] > 0.0) if nof_ack
+                    else bool(csi1_metric[c] > 0.0))
+                if nof_csi1:
+                    uci.csi1_bits = csi1_np[c]
+                    uci.csi1_valid = bool(csi1_metric[c] > 0.0)
+                    if csi2_rows is not None and csi2_rows[c] is not None \
+                            and np.size(csi2_rows[c]):
+                        uci.csi2_bits = np.asarray(csi2_rows[c])
+                        uci.csi2_valid = bool(csi2_metric[c] > 0.0)
+                out[c].append(uci)
             if ok[c]:
                 self.harq_pools[c].release(pdu.rnti, pdu.harq_id)

@@ -77,6 +77,44 @@ class CellConfig:
         return self.nof_rb * 12
 
 
+def extract_pusch_allocation(grid, pdu):
+    """Slice the PUSCH allocation out of batched carrier grids
+    (B, P, 14, nsubc, 2) -> (B, P, nsym, nsub_alloc, 2), hop-aware: each
+    symbol's rows come from that symbol's hop PRB (reference: per-hop RE
+    extraction in the PUSCH demodulator)."""
+    hop = getattr(pdu, "hop_symbol", None)
+    k0 = pdu.rb_start * 12
+    nsub = pdu.rb_size * 12
+    s0, ns = pdu.start_symbol, pdu.nof_symbols
+    if hop is None:
+        return grid[:, :, s0:s0 + ns, k0:k0 + nsub, :]
+    k1 = pdu.second_hop_prb * 12
+    return jnp.concatenate([
+        grid[:, :, s0:hop, k0:k0 + nsub, :],
+        grid[:, :, hop:s0 + ns, k1:k1 + nsub, :],
+    ], axis=2)
+
+
+def pusch_dmrs_ref_values(slot: int, pdu) -> np.ndarray:
+    """(ndmrs, npil) complex64 DM-RS reference for one PUSCH PDU: type 1/2,
+    CRB-indexed from the PDU's (per-hop) PRB start."""
+    from ..ops.dmrs import dmrs_type2_sequence
+
+    hop = getattr(pdu, "hop_symbol", None)
+
+    def _prb(sym_abs: int) -> int:
+        if hop is not None and sym_abs >= hop:
+            return pdu.second_hop_prb
+        return pdu.rb_start
+
+    gen = (dmrs_type2_sequence if getattr(pdu, "dmrs_config_type", 1) == 2
+           else dmrs_type1_sequence)
+    return np.stack([
+        gen(slot, s, pdu.n_id, pdu.rb_size, prb_start=_prb(s))
+        for s in pdu.dmrs_symbols
+    ])
+
+
 class FapiValidationError(ValueError):
     """Raised when a slot message fails FAPI validation
     (reference: fapi message_validators reject + error.indication path)."""
@@ -225,18 +263,13 @@ class UpperPhy:
 
         return indications
 
-    def _process_pusch(self, slot, pdu, grid):
+    def _pusch_rx_cfg(self, slot, pdu, *, nof_csi2: int, two_phase: bool):
+        """Dynamic-params PuschRxConfig for one PUSCH PDU (rnti/n_id/slot
+        values ride as inputs; only SHAPE lands in the compile key)."""
         cfg = self.cfg
-        # Every PDU runs through the dynamic-value program: the DM-RS
-        # reference (absolute slot + n_id), descrambling signs (rnti/n_id)
-        # and the UCI placeholder fix signs are device INPUTS, so one
-        # compiled program per slot parity serves every UE and every slot —
-        # including ACK/CSI-on-PUSCH, whose Section 6.2.7 placement plan is
-        # shape-only (reference analog: per-slot PDU churn,
-        # fapi_to_phy_translator.cpp:290-351).
-        nof_ack = getattr(pdu, "nof_harq_ack_bits", 0)
         exp = self.expert
-        rx_cfg = PuschRxConfig(
+        hop = getattr(pdu, "hop_symbol", None)
+        return PuschRxConfig(
             nof_rb=pdu.rb_size, modulation=pdu.modulation,
             target_code_rate=pdu.target_code_rate, nof_layers=pdu.nof_layers,
             nof_ofdm_symbols=pdu.nof_symbols,
@@ -246,14 +279,49 @@ class UpperPhy:
             nof_rx_ports=cfg.nof_rx_ports, dft_size=cfg.dft_size,
             numerology=cfg.numerology,
             slot=slot % (1 << cfg.numerology),
-            nof_harq_ack_bits=nof_ack,
+            nof_harq_ack_bits=getattr(pdu, "nof_harq_ack_bits", 0),
+            nof_csi_part1_bits=getattr(pdu, "nof_csi_part1_bits", 0),
+            nof_csi_part2_bits=0 if two_phase else nof_csi2,
+            dmrs_config_type=getattr(pdu, "dmrs_config_type", 1),
+            # The second-hop PRB is a VALUE (the hop's DM-RS reference and
+            # grid rows come from the caller); normalize it to 0 in the
+            # compile key so hop-PRB churn never recompiles.
+            hop_symbol=hop, second_hop_prb=0 if hop is not None else None,
             nof_ldpc_iterations=exp.pusch_decoder_max_iterations,
             use_pallas_decoder=exp.use_pallas_decoder,
             dynamic_params=True,
         )
-        k0 = pdu.rb_start * 12
-        sub = grid[None, :, pdu.start_symbol:pdu.start_symbol + pdu.nof_symbols,
-                   k0:k0 + rx_cfg.nof_subc, :]
+
+    def _pusch_grid_and_ref(self, slot, pdu, grid):
+        """Extract the allocation grid (hop-aware) and build the per-PDU
+        DM-RS reference input (type 1/2, CRB-indexed, per-hop PRBs)."""
+        sub = extract_pusch_allocation(grid[None], pdu)
+        ref = pusch_dmrs_ref_values(slot, pdu)
+        return sub, jnp.asarray(np_to_pair(ref))[None]
+
+    def _process_pusch(self, slot, pdu, grid):
+        # Every PDU runs through the dynamic-value program: the DM-RS
+        # reference (absolute slot + n_id, per-hop PRBs), descrambling signs
+        # (rnti/n_id) and the UCI placeholder fix signs are device INPUTS,
+        # so one compiled program per shape serves every UE and every slot —
+        # including ACK/CSI-on-PUSCH, intra-slot hopping and DM-RS type 2
+        # (reference analog: per-slot PDU churn,
+        # fapi_to_phy_translator.cpp:290-351).  CSI part 2 with a varying
+        # part2_size_map runs the two-phase part1->part2 protocol
+        # (phy.pusch_uci; reference: pusch_processor_impl.cpp:40-92).
+        nof_ack = getattr(pdu, "nof_harq_ack_bits", 0)
+        nof_csi1 = getattr(pdu, "nof_csi_part1_bits", 0)
+        p2map = tuple(getattr(pdu, "part2_size_map", ()) or ())
+        const_csi2 = 0
+        two_phase = False
+        if nof_csi1 and p2map:
+            if len(set(p2map)) == 1:
+                const_csi2 = p2map[0]
+            else:
+                two_phase = True
+        rx_cfg = self._pusch_rx_cfg(slot, pdu, nof_csi2=const_csi2,
+                                    two_phase=two_phase)
+        sub, ref_in = self._pusch_grid_and_ref(slot, pdu, grid)
         seg = rx_cfg.segmentation
         buf_idx = self.harq_pool.reserve(
             slot, pdu.rnti, pdu.harq_id, seg.nof_cb, new_data=pdu.new_data
@@ -265,33 +333,46 @@ class UpperPhy:
             logging.getLogger("upper_phy").warning(
                 "HARQ pool exhausted: rnti=0x%x harq=%d retransmission "
                 "decodes without soft-combining history", pdu.rnti, pdu.harq_id)
-        rx = cached_pusch_rx_from_grid(rx_cfg)
         n = seg.nof_cw_bits_per_cb
         harq = None
         if buf_idx is not None and not pdu.new_data:
             harq = self.harq_pool.get_soft(buf_idx, seg.nof_cb, n)[None]
         from ..ops import prg as prg_mod
 
-        ref = np.stack([
-            dmrs_type1_sequence(slot, s, pdu.n_id, pdu.rb_size,
-                                prb_start=pdu.rb_start)
-            for s in pdu.dmrs_symbols
-        ])
-        ref_in = jnp.asarray(np_to_pair(ref))[None]
         cinit = ((pdu.rnti << 15) + pdu.n_id) & 0x7FFFFFFF
         scr = prg_mod.gold_sequence_bits(cinit, rx_cfg.nof_codeword_bits)
         signs_in = jnp.asarray(1 - 2 * scr.astype(np.int8))[None]
         uci_fix = None
-        if nof_ack:
+        if nof_ack or nof_csi1:
             from ..models.pusch_rx import cached_demux_plan
             from ..ops.ulsch_demux import placeholder_fix_signs
             from ..ran.modulation import bits_per_symbol
 
-            plan, _ = cached_demux_plan(rx_cfg)
-            ack_fix = placeholder_fix_signs(
-                plan.ack_bit_idx, nof_ack, bits_per_symbol(pdu.modulation), scr)
-            uci_fix = (jnp.asarray(ack_fix, jnp.int8)[None], None, None)
-        out = rx(sub, harq, ref_in, signs_in, uci_fix)
+            qm = bits_per_symbol(pdu.modulation)
+            plan, _ = cached_demux_plan(
+                rx_cfg, 0 if two_phase else const_csi2)
+
+            def fix(idx, nbits):
+                if not nbits:
+                    return None
+                return jnp.asarray(
+                    placeholder_fix_signs(idx, nbits, qm, scr), jnp.int8)[None]
+
+            uci_fix = (fix(plan.ack_bit_idx, nof_ack),
+                       fix(plan.csi1_bit_idx, nof_csi1),
+                       None if two_phase
+                       else fix(plan.csi2_bit_idx, const_csi2))
+
+        if two_phase:
+            from .pusch_uci import PuschUciConfig, PuschUciProcessor
+
+            proc = PuschUciProcessor(PuschUciConfig(rx=rx_cfg,
+                                                    part2_size_map=p2map))
+            out = proc.process(sub, harq, ref_in, signs_in, uci_fix,
+                               scr_bits=scr[None])
+        else:
+            rx = cached_pusch_rx_from_grid(rx_cfg)
+            out = rx(sub, harq, ref_in, signs_in, uci_fix)
         if buf_idx is not None:
             self.harq_pool.store(buf_idx, seg.nof_cb, n, out["harq_soft"][0])
         ok = bool(to_host(out["tb_crc_ok"])[0])
@@ -304,11 +385,23 @@ class UpperPhy:
                 tb_bits=flatten_tb_bits(to_host(out["tb_bits_cb"]), rx_cfg.tbs)[0] if ok else None,
             ),
         ]
-        if nof_ack:
-            inds.append(UciIndication(
+        if nof_ack or nof_csi1:
+            csi2_n = out.get("csi2_bits")
+            uci = UciIndication(
                 slot=slot, rnti=pdu.rnti,
-                harq_bits=to_host(out["harq_ack_bits"])[0], uci_bits=None,
-                valid=bool(to_host(out["harq_ack_metric"])[0] > 0.0)))
+                harq_bits=(to_host(out["harq_ack_bits"])[0] if nof_ack
+                           else np.empty(0, np.uint8)),
+                uci_bits=None,
+                valid=bool(to_host(out["harq_ack_metric"])[0] > 0.0)
+                if nof_ack else bool(to_host(out["csi1_metric"])[0] > 0.0),
+            )
+            if nof_csi1:
+                uci.csi1_bits = to_host(out["csi1_bits"])[0]
+                uci.csi1_valid = bool(to_host(out["csi1_metric"])[0] > 0.0)
+            if csi2_n is not None and np.size(to_host(csi2_n)) > 0:
+                uci.csi2_bits = to_host(csi2_n)[0]
+                uci.csi2_valid = bool(to_host(out["csi2_metric"])[0] > 0.0)
+            inds.append(uci)
         return inds
 
     def _process_srs(self, slot, pdu, grid, samples):

@@ -217,3 +217,62 @@ def test_multi_cell_dl_matches_per_cell():
         g_ref, s_ref = ref_phy.process_dl_slot(reqs[c], txs[c], fetch=False)
         np.testing.assert_allclose(grids[c], to_host(g_ref), atol=2e-5)
         np.testing.assert_allclose(samples[c], to_host(s_ref), atol=2e-4)
+
+
+def test_multi_cell_csi_two_phase_buckets():
+    """CSI-on-PUSCH across cells in the batched path: ONE phase-A program on
+    the cell axis; cells whose decoded part 1 selects different part-2 sizes
+    finish in separate phase-B bucket dispatches."""
+    from srsran_projectvtlmo_tpu.fapi.pdus import UciIndication
+    from srsran_projectvtlmo_tpu.ops import ofdm
+
+    ncell = 2
+    cell = CellConfig(nof_rb=24, dft_size=512, numerology=1, nof_rx_ports=1)
+    rmesh = make_ran_mesh(nof_cell_shards=2, nof_sp_shards=4)
+    phy = MultiCellUpperPhy(cell, ncell, rmesh)
+
+    rng = np.random.default_rng(23)
+    slot = 2
+    p2map = (4, 6, 8, 10)
+    rntis, nids, csi1_vals = [0x111, 0x222], [3, 9], [1, 3]
+    tbs_list, csi2_list, samples, pdus = [], [], [], []
+    for c in range(ncell):
+        csi2_size = p2map[csi1_vals[c]]
+        tx_cfg = PuschRxConfig(
+            nof_rb=16, modulation=Modulation.QAM16, target_code_rate=0.5,
+            rnti=rntis[c], n_id=nids[c], rb_start=4, nof_rx_ports=1,
+            dft_size=cell.dft_size, numerology=1, slot=slot,
+            dmrs_symbols=(2,), nof_csi_part1_bits=2)
+        tx = build_ulsch_tx_slot(tx_cfg, nof_csi_part2_bits=csi2_size)
+        tb = rng.integers(0, 2, tx_cfg.tbs).astype(np.uint8)
+        csi1 = np.array([[csi1_vals[c] >> 1, csi1_vals[c] & 1]], np.uint8)
+        csi2 = rng.integers(0, 2, (1, csi2_size)).astype(np.uint8)
+        tbs_list.append(tb)
+        csi2_list.append(csi2[0])
+        grid_pair, _ = tx(jnp.asarray(tb[None]), csi1_bits=jnp.asarray(csi1),
+                          csi2_bits=jnp.asarray(csi2))
+        alloc = np.asarray(grid_pair)[0]
+        carrier = np.zeros((14, cell.nof_subc, 2), np.float32)
+        carrier[:, 4 * 12:20 * 12, :] = alloc
+        samp = np.asarray(ofdm.ofdm_modulate(
+            jnp.asarray(carrier), cell.dft_size, 1, slot % 2))
+        samples.append(samp[None] + 0.003 * rng.normal(
+            size=samp[None].shape).astype(np.float32))
+        pdus.append(PuschPdu(
+            rnti=rntis[c], rb_start=4, rb_size=16,
+            modulation=Modulation.QAM16, target_code_rate=0.5, n_id=nids[c],
+            dmrs_symbols=(2,), nof_csi_part1_bits=2, part2_size_map=p2map))
+
+    requests = [UlTtiRequest(slot=slot, pusch=(pdus[c],)) for c in range(ncell)]
+    out = phy.process_ul_slot(requests, np.stack(samples))
+    for c in range(ncell):
+        crc = [i for i in out[c] if isinstance(i, CrcIndication)][0]
+        rxd = [i for i in out[c] if isinstance(i, RxDataIndication)][0]
+        uci = [i for i in out[c] if isinstance(i, UciIndication)][0]
+        assert crc.tb_crc_ok, f"cell {c} failed CRC with CSI multiplexed"
+        np.testing.assert_array_equal(rxd.tb_bits, tbs_list[c])
+        assert uci.csi1_valid
+        exp_csi1 = [csi1_vals[c] >> 1, csi1_vals[c] & 1]
+        np.testing.assert_array_equal(uci.csi1_bits, exp_csi1)
+        assert uci.csi2_valid
+        np.testing.assert_array_equal(uci.csi2_bits, csi2_list[c])

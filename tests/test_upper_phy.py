@@ -309,3 +309,196 @@ def test_four_layer_pusch_through_upper_phy():
     rxd = [x for x in inds if isinstance(x, RxDataIndication)][0]
     assert crc.tb_crc_ok, "4-layer UpperPhy decode failed"
     np.testing.assert_array_equal(rxd.tb_bits, tb)
+
+
+def _carrier_fapi_samples(tx_cfg, alloc_grid_pair, slot, second_hop=None,
+                          noise=0.004, seed=5):
+    """Embed a (14, nsub, 2) TX allocation grid into the CELL carrier
+    (hop-aware per-symbol PRB placement) and OFDM-modulate one port."""
+    g = alloc_grid_pair[..., 0] + 1j * alloc_grid_pair[..., 1]
+    carrier = np.zeros((14, CELL.nof_subc), np.complex64)
+    k0 = tx_cfg.rb_start * 12
+    w = tx_cfg.nof_rb * 12
+    for s in range(14):
+        k = k0
+        if second_hop is not None and s >= tx_cfg.hop_symbol:
+            k = second_hop * 12
+        carrier[s, k:k + w] = g[s]
+    rng = np.random.default_rng(seed)
+    carrier += noise * (rng.normal(size=carrier.shape)
+                        + 1j * rng.normal(size=carrier.shape))
+    samples = ofdm.ofdm_modulate(jnp.asarray(np_to_pair(carrier)),
+                                 CELL.dft_size, 1, slot % 2)
+    return np.asarray(samples)[None]
+
+
+class TestFullFapiPuschSurface:
+    """Round-5 FAPI surface: CSI-on-PUSCH (two-phase part1->part2), intra-slot
+    frequency hopping and DM-RS type 2 all reachable through PuschPdu
+    (reference: pusch_processor_impl.cpp:40-92 csi-part1-feedback,
+    fapi_to_phy_translator.cpp:290-351 PDU translation)."""
+
+    def _tx_cfg(self, rnti, n_id, slot, **kw):
+        kw.setdefault("dmrs_symbols", (2, 11))
+        return PuschRxConfig(
+            nof_rb=16, modulation=Modulation.QAM16, target_code_rate=0.5,
+            rnti=rnti, n_id=n_id, rb_start=8, nof_rx_ports=1,
+            dft_size=CELL.dft_size, numerology=1, slot=slot, **kw)
+
+    def test_csi_two_phase_through_fapi_compiles_once(self):
+        """gnb_sim-style loop decodes SCH+ACK+CSI1+CSI2 on one PDU across a
+        churning UE set: ONE phase-A program; one phase-B program per
+        part2-size bucket actually hit."""
+        from srsran_projectvtlmo_tpu.models.pusch_rx import cached_pusch_phase_b
+
+        phy = UpperPhy(CELL)
+        cached_pusch_rx_from_grid.cache_clear()
+        cached_pusch_phase_b.cache_clear()
+        p2map = (4, 6, 8, 10)
+        rng = np.random.default_rng(11)
+        sizes_seen = set()
+        for i, (rnti, n_id, slot, csi1_val) in enumerate(
+                [(0x17, 5, 2, 2), (0x23, 7, 4, 2), (0x31, 11, 6, 1)]):
+            csi2_size = p2map[csi1_val]
+            sizes_seen.add(csi2_size)
+            ack = rng.integers(0, 2, (1, 1)).astype(np.uint8)
+            csi1 = np.array([[csi1_val >> 1, csi1_val & 1]], np.uint8)
+            csi2 = rng.integers(0, 2, (1, csi2_size)).astype(np.uint8)
+            tx_cfg = self._tx_cfg(rnti, n_id, slot, nof_harq_ack_bits=1,
+                                  nof_csi_part1_bits=2)
+            tb = rng.integers(0, 2, tx_cfg.tbs).astype(np.uint8)
+            tx = build_ulsch_tx_slot(tx_cfg, nof_csi_part2_bits=csi2_size)
+            alloc, _ = tx(jnp.asarray(tb[None]), ack_bits=jnp.asarray(ack),
+                          csi1_bits=jnp.asarray(csi1),
+                          csi2_bits=jnp.asarray(csi2))
+            samples = _carrier_fapi_samples(tx_cfg, np.asarray(alloc)[0], slot)
+            req = UlTtiRequest(slot=slot, pusch=(PuschPdu(
+                rnti=rnti, rb_start=8, rb_size=16,
+                modulation=Modulation.QAM16, target_code_rate=0.5,
+                n_id=n_id, dmrs_symbols=(2, 11), nof_harq_ack_bits=1,
+                nof_csi_part1_bits=2, part2_size_map=p2map),))
+            inds = phy.process_ul_slot(req, samples)
+            crc = [x for x in inds if isinstance(x, CrcIndication)][0]
+            rxd = [x for x in inds if isinstance(x, RxDataIndication)][0]
+            uci = [x for x in inds if isinstance(x, UciIndication)][0]
+            assert crc.tb_crc_ok, f"UE {i} SCH decode failed"
+            np.testing.assert_array_equal(rxd.tb_bits, tb)
+            assert uci.valid
+            np.testing.assert_array_equal(uci.harq_bits, ack[0])
+            assert uci.csi1_valid
+            np.testing.assert_array_equal(uci.csi1_bits, csi1[0])
+            assert uci.csi2_valid
+            np.testing.assert_array_equal(uci.csi2_bits, csi2[0])
+        assert cached_pusch_rx_from_grid.cache_info().misses == 1, \
+            cached_pusch_rx_from_grid.cache_info()
+        assert cached_pusch_phase_b.cache_info().misses == len(sizes_seen), \
+            cached_pusch_phase_b.cache_info()
+
+    def test_constant_part2_map_single_pass(self):
+        """A CONSTANT part2 map needs no host decision point: SCH+CSI1+CSI2
+        decode in the one fused program (no phase-B program built)."""
+        from srsran_projectvtlmo_tpu.models.pusch_rx import cached_pusch_phase_b
+
+        phy = UpperPhy(CELL)
+        cached_pusch_rx_from_grid.cache_clear()
+        cached_pusch_phase_b.cache_clear()
+        rng = np.random.default_rng(13)
+        slot, rnti, n_id = 4, 0x51, 3
+        csi1 = np.array([[1, 1]], np.uint8)
+        csi2 = rng.integers(0, 2, (1, 6)).astype(np.uint8)
+        tx_cfg = self._tx_cfg(rnti, n_id, slot, nof_csi_part1_bits=2,
+                              nof_csi_part2_bits=6)
+        tb = rng.integers(0, 2, tx_cfg.tbs).astype(np.uint8)
+        tx = build_ulsch_tx_slot(tx_cfg)
+        alloc, _ = tx(jnp.asarray(tb[None]), csi1_bits=jnp.asarray(csi1),
+                      csi2_bits=jnp.asarray(csi2))
+        samples = _carrier_fapi_samples(tx_cfg, np.asarray(alloc)[0], slot)
+        req = UlTtiRequest(slot=slot, pusch=(PuschPdu(
+            rnti=rnti, rb_start=8, rb_size=16, modulation=Modulation.QAM16,
+            target_code_rate=0.5, n_id=n_id, dmrs_symbols=(2, 11),
+            nof_csi_part1_bits=2, part2_size_map=(6, 6, 6, 6)),))
+        inds = phy.process_ul_slot(req, samples)
+        crc = [x for x in inds if isinstance(x, CrcIndication)][0]
+        uci = [x for x in inds if isinstance(x, UciIndication)][0]
+        assert crc.tb_crc_ok
+        np.testing.assert_array_equal(uci.csi1_bits, csi1[0])
+        np.testing.assert_array_equal(uci.csi2_bits, csi2[0])
+        assert uci.csi1_valid and uci.csi2_valid
+        assert cached_pusch_rx_from_grid.cache_info().misses == 1
+        assert cached_pusch_phase_b.cache_info().misses == 0
+
+    def test_hopping_through_fapi_hop_prb_is_a_value(self):
+        """Intra-slot frequency hopping through the PDU API; two UEs with
+        DIFFERENT second-hop PRBs share one compiled program (the hop PRB is
+        normalized out of the compile key)."""
+        phy = UpperPhy(CELL)
+        cached_pusch_rx_from_grid.cache_clear()
+        rng = np.random.default_rng(17)
+        for i, (rnti, n_id, slot, hop_prb) in enumerate(
+                [(0x61, 2, 2, 30), (0x62, 6, 4, 25)]):
+            tx_cfg = self._tx_cfg(rnti, n_id, slot, dmrs_symbols=(2, 9),
+                                  hop_symbol=7, second_hop_prb=hop_prb)
+            tb = rng.integers(0, 2, tx_cfg.tbs).astype(np.uint8)
+            tx = build_ulsch_tx_slot(tx_cfg)
+            alloc, _ = tx(jnp.asarray(tb[None]))
+            samples = _carrier_fapi_samples(tx_cfg, np.asarray(alloc)[0],
+                                            slot, second_hop=hop_prb)
+            req = UlTtiRequest(slot=slot, pusch=(PuschPdu(
+                rnti=rnti, rb_start=8, rb_size=16,
+                modulation=Modulation.QAM16, target_code_rate=0.5,
+                n_id=n_id, dmrs_symbols=(2, 9), hop_symbol=7,
+                second_hop_prb=hop_prb),))
+            inds = phy.process_ul_slot(req, samples)
+            crc = [x for x in inds if isinstance(x, CrcIndication)][0]
+            rxd = [x for x in inds if isinstance(x, RxDataIndication)][0]
+            assert crc.tb_crc_ok, f"hopping UE {i} decode failed"
+            np.testing.assert_array_equal(rxd.tb_bits, tb)
+        assert cached_pusch_rx_from_grid.cache_info().misses == 1, \
+            cached_pusch_rx_from_grid.cache_info()
+
+    def test_dmrs_type2_through_fapi(self):
+        phy = UpperPhy(CELL)
+        rng = np.random.default_rng(19)
+        slot, rnti, n_id = 6, 0x71, 8
+        tx_cfg = self._tx_cfg(rnti, n_id, slot, dmrs_config_type=2)
+        tb = rng.integers(0, 2, tx_cfg.tbs).astype(np.uint8)
+        tx = build_ulsch_tx_slot(tx_cfg)
+        alloc, _ = tx(jnp.asarray(tb[None]))
+        samples = _carrier_fapi_samples(tx_cfg, np.asarray(alloc)[0], slot)
+        req = UlTtiRequest(slot=slot, pusch=(PuschPdu(
+            rnti=rnti, rb_start=8, rb_size=16, modulation=Modulation.QAM16,
+            target_code_rate=0.5, n_id=n_id, dmrs_symbols=(2, 11),
+            dmrs_config_type=2),))
+        inds = phy.process_ul_slot(req, samples)
+        crc = [x for x in inds if isinstance(x, CrcIndication)][0]
+        rxd = [x for x in inds if isinstance(x, RxDataIndication)][0]
+        assert crc.tb_crc_ok, "DM-RS type-2 decode through FAPI failed"
+        np.testing.assert_array_equal(rxd.tb_bits, tb)
+
+    def test_fapi_validators_cover_new_fields(self):
+        from srsran_projectvtlmo_tpu.fapi import validators as v
+
+        def req(**kw):
+            return UlTtiRequest(slot=0, pusch=(PuschPdu(
+                rnti=0x10, rb_start=0, rb_size=8,
+                modulation=Modulation.QAM16, target_code_rate=0.5, **kw),))
+
+        assert v.validate_ul_tti_request(req(
+            nof_csi_part1_bits=2, part2_size_map=(0, 4, 6, 8))).ok
+        # Map length must be 2**csi1.
+        assert not v.validate_ul_tti_request(req(
+            nof_csi_part1_bits=2, part2_size_map=(4, 6))).ok
+        # Map mode caps csi1 at 11 bits.
+        assert not v.validate_ul_tti_request(req(
+            nof_csi_part1_bits=12, part2_size_map=tuple([4] * 4096))).ok
+        # Hopping needs the second-hop PRB, a hop symbol inside the span
+        # and one DM-RS symbol per hop.
+        assert not v.validate_ul_tti_request(req(hop_symbol=7)).ok
+        assert not v.validate_ul_tti_request(req(
+            hop_symbol=14, second_hop_prb=10)).ok
+        assert not v.validate_ul_tti_request(req(
+            hop_symbol=7, second_hop_prb=10, dmrs_symbols=(2, 3))).ok
+        assert v.validate_ul_tti_request(req(
+            hop_symbol=7, second_hop_prb=10, dmrs_symbols=(2, 9))).ok
+        assert not v.validate_ul_tti_request(req(dmrs_config_type=3)).ok
+        assert v.validate_ul_tti_request(req(dmrs_config_type=2)).ok
