@@ -250,14 +250,22 @@ def run_northstar(args) -> int:
     # --- DL: full-band 2-layer precoded PDSCH + PDCCH + CSI-RS (+SSB @0) ----
     w_dl = np.exp(-2j * np.pi * np.outer(np.arange(4), np.arange(2)) / 4) / 2.0
     prec = tuple(tuple((float(c.real), float(c.imag)) for c in row) for row in w_dl)
+    # CSI-RS INSIDE the PDSCH span: the PDSCH rate-matches around it via the
+    # reserved RE patterns (reference: pdsch_processor_impl.cpp:77-96).
+    from srsran_projectvtlmo_tpu.ops.csi_rs import CsiRsConfig
+    from srsran_projectvtlmo_tpu.ran.re_pattern import csi_rs_patterns
+
+    csi = CsiRsPdu(nof_rb=273, symbol=12, subcarrier_offset=3)
+    reserved = csi_rs_patterns(CsiRsConfig(
+        nof_rb=273, symbol=12, subcarrier_offset=3, slot=0))
     pdsch = PdschPdu(rnti=0x4601, rb_start=0, rb_size=273,
                      modulation=Modulation.QAM256, target_code_rate=948 / 1024,
                      nof_layers=2, start_symbol=2, nof_symbols=11,
-                     dmrs_symbols=(2,), n_id=cell.phys_cell_id, precoding=prec)
+                     dmrs_symbols=(2,), n_id=cell.phys_cell_id, precoding=prec,
+                     reserved=reserved)
     pdcch = PdcchPdu(rnti=0x4601, nof_dci_bits=40, aggregation_level=4,
                      cce_index=0, start_symbol=1, n_id=cell.phys_cell_id,
                      n_rnti=0x4601, coreset_nof_rb=48, interleaved=True)
-    csi = CsiRsPdu(nof_rb=273, symbol=13, subcarrier_offset=3)
 
     # --- UL: 272-PRB 2-layer PUSCH; PRB 272 carries PUCCH format 1 ---------
     pusch_rb = 272

@@ -79,6 +79,10 @@ class PdschPdu:
     #: pairs; None = identity layer->port mapping (reference:
     #: include/srsran/phy/generic_functions/precoding/channel_precoder.h:49-61).
     precoding: tuple[tuple[tuple[float, float], ...], ...] | None = None
+    #: Reserved RE patterns (ran.re_pattern.RePattern) the PDSCH
+    #: rate-matches around: CSI-RS resources, CORESET regions (reference:
+    #: pdsch_processor pdu_t::reserved, pdsch_processor_impl.cpp:77-96).
+    reserved: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -144,6 +144,23 @@ def validate_pdsch(pdu: pdus.PdschPdu, rep: ValidatorReport) -> None:
         rep.add(m, p, "Target code rate", pdu.target_code_rate, "(0, 1)")
     _validate_alloc(rep, m, p, pdu.rb_start, pdu.rb_size, pdu.start_symbol,
                     pdu.nof_symbols, pdu.dmrs_symbols)
+    for pat in getattr(pdu, "reserved", ()):
+        if len(pat.re_mask) != 12:
+            rep.add(m, p, "Reserved RE mask length", len(pat.re_mask), "12")
+        if not (0 <= pat.rb_begin < pat.rb_end <= MAX_NOF_PRBS):
+            rep.add(m, p, "Reserved PRB range", (pat.rb_begin, pat.rb_end),
+                    f"0 <= begin < end <= {MAX_NOF_PRBS}")
+        for s in pat.symbols:
+            if not (0 <= s < NOF_OFDM_SYM_PER_SLOT):
+                rep.add(m, p, "Reserved symbol", s, "0..13")
+        # The scheduler must not collide reserved REs (CSI-RS/CORESET) with
+        # the PDSCH DM-RS symbols inside the allocation.
+        overlap_rb = (pat.rb_begin < pdu.rb_start + pdu.rb_size
+                      and pat.rb_end > pdu.rb_start)
+        if overlap_rb and any(s in pat.symbols for s in pdu.dmrs_symbols) \
+                and any(pat.re_mask):
+            rep.add(m, p, "Reserved symbols", tuple(pat.symbols),
+                    "no overlap with PDSCH DM-RS symbols")
 
 
 def validate_pusch(pdu: pdus.PuschPdu, rep: ValidatorReport) -> None:

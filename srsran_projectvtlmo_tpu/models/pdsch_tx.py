@@ -27,6 +27,23 @@ class PdschTxConfig(SchChainConfig):
     dft_size: int = 4096
     numerology: int = 1
     slot: int = 0
+    #: Reserved RE patterns (ran.re_pattern.RePattern, ABSOLUTE carrier
+    #: PRBs/symbols) the PDSCH rate-matches around — CSI-RS, CORESET
+    #: (reference: pdsch_processor_impl.cpp:77-96 compute_nof_data_re).
+    #: Patterns shrink nof_data_re (and therefore every rate-match E) and
+    #: punch holes in the mapping plan (phy.dl_slot).
+    reserved: tuple = ()
+
+    @property
+    def nof_data_re(self) -> int:
+        base = self.nof_subc * len(self.data_symbols)
+        if not self.reserved:
+            return base
+        from ..ran.re_pattern import inclusion_count
+
+        abs_syms = [self.start_symbol + s for s in self.data_symbols]
+        return base - inclusion_count(self.reserved, self.rb_start,
+                                      self.nof_rb, abs_syms)
 
 
 def build_pdsch_tx_slot(cfg: PdschTxConfig):

@@ -50,7 +50,48 @@ def _pdsch_cfg(pdu: PdschPdu, cell) -> PdschTxConfig:
         rv=pdu.rv, rnti=pdu.rnti, n_id=pdu.n_id,
         start_symbol=pdu.start_symbol, rb_start=pdu.rb_start,
         dft_size=cell.dft_size, numerology=cell.numerology,
+        reserved=tuple(getattr(pdu, "reserved", ()) or ()),
     )
+
+
+def _pdsch_symbol_plans(pdu: PdschPdu, cfg: PdschTxConfig):
+    """Hole-aware mapping plan when the PDU carries reserved RE patterns:
+    per data symbol, maximal runs of allocation RBs sharing one free-RE
+    submask become segments — "full" (contiguous slice) or "comb"
+    (reshape + static column writes), both scatter-free.  Returns a list of
+    (abs_symbol, [("full", sub0, nsub) | ("comb", sub0, n_rb, free_offs)])
+    in RE-stream order (reference: resource_grid_mapper skips reserved REs
+    in mapping order, pdsch_processor_impl.cpp:77-96)."""
+    from ..ran.re_pattern import reserved_mask_window
+
+    abs_data = [pdu.start_symbol + int(s) for s in cfg.data_symbols]
+    mask = reserved_mask_window(cfg.reserved, pdu.rb_start, pdu.rb_size,
+                                abs_data)  # (nd, nsub) True = reserved
+    dmrs_abs = [pdu.start_symbol + int(s) for s in cfg.dmrs_symbols]
+    dm = reserved_mask_window(cfg.reserved, pdu.rb_start, pdu.rb_size,
+                              dmrs_abs)
+    assert not dm.any(), \
+        "reserved REs on PDSCH DM-RS symbols are unsupported (the scheduler " \
+        "must not collide CSI-RS/CORESET with DM-RS; reference merges them " \
+        "into one pattern but asserts no DM-RS collision upstream)"
+    plans = []
+    for di, sym in enumerate(abs_data):
+        free = ~mask[di].reshape(pdu.rb_size, 12)
+        segs = []
+        rb = 0
+        while rb < pdu.rb_size:
+            sub = free[rb]
+            rb2 = rb + 1
+            while rb2 < pdu.rb_size and np.array_equal(free[rb2], sub):
+                rb2 += 1
+            if sub.all():
+                segs.append(("full", rb * 12, (rb2 - rb) * 12))
+            elif sub.any():
+                segs.append(("comb", rb * 12, rb2 - rb,
+                             tuple(int(k) for k in np.where(sub)[0])))
+            rb = rb2
+        plans.append((sym, segs))
+    return plans
 
 
 def _precoding_matrix(pdu: PdschPdu, nof_ports: int) -> np.ndarray:
@@ -182,6 +223,10 @@ class DlSlotProgram:
                 "runs": runs,
                 "dmrs_abs": [pdu.start_symbol + int(s)
                              for s in cfg.dmrs_symbols],
+                #: Hole-aware per-symbol segment plan when the PDU reserves
+                #: REs (CSI-RS/CORESET rate matching); None = fast path.
+                "plans": (_pdsch_symbol_plans(pdu, cfg)
+                          if cfg.reserved else None),
             })
 
         # --- PDCCH: per-candidate block span, scatter-free ------------------
@@ -299,11 +344,38 @@ class DlSlotProgram:
             layers = layer_map(jnp.moveaxis(sym_pair, -1, 0), cfg.nof_layers)
             layers = jnp.moveaxis(layers, 0, -1)  # (L, M, 2)
             ports = precode(layers, w)  # (P, nre, 2)
-            nd = len(cfg.data_symbols)
-            blocks = ports.reshape(p, nd, lay["nsub"], 2)
-            for (sym0, count, off) in lay["runs"]:
-                grid = jax.lax.dynamic_update_slice(
-                    grid, blocks[:, off:off + count], (0, sym0, lay["k0"], 0))
+            if lay["plans"] is None:
+                nd = len(cfg.data_symbols)
+                blocks = ports.reshape(p, nd, lay["nsub"], 2)
+                for (sym0, count, off) in lay["runs"]:
+                    grid = jax.lax.dynamic_update_slice(
+                        grid, blocks[:, off:off + count], (0, sym0, lay["k0"], 0))
+            else:
+                # Reserved-RE rate matching: consume the (reduced) RE stream
+                # in mapping order, skipping the reserved holes — contiguous
+                # slices for full segments, reshape + static column writes
+                # for per-RB comb holes.  Scatter-free.
+                off = 0
+                for sym, segs in lay["plans"]:
+                    for seg in segs:
+                        if seg[0] == "full":
+                            _, sub0, nsub = seg
+                            vals = ports[:, off:off + nsub][:, None]
+                            grid = jax.lax.dynamic_update_slice(
+                                grid, vals, (0, sym, lay["k0"] + sub0, 0))
+                            off += nsub
+                        else:
+                            _, sub0, n_rb, free_offs = seg
+                            f = len(free_offs)
+                            vals = ports[:, off:off + n_rb * f].reshape(
+                                p, n_rb, f, 2)
+                            blk = jnp.zeros((p, n_rb, 12, 2), jnp.float32)
+                            for j, ko in enumerate(free_offs):
+                                blk = blk.at[:, :, ko].set(vals[:, :, j])
+                            grid = jax.lax.dynamic_update_slice(
+                                grid, blk.reshape(p, 1, n_rb * 12, 2),
+                                (0, sym, lay["k0"] + sub0, 0))
+                            off += n_rb * f
             dm = self._dmrs_port_pilots(i, pdsch_dmrs[i], w)  # (P, ndm, 2, npil, 2)
             rows = jnp.transpose(dm, (0, 1, 3, 2, 4)).reshape(
                 p, dm.shape[1], -1, 2)  # (P, ndm, 2*npil, 2) comb-interleaved

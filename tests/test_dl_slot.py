@@ -362,3 +362,167 @@ class TestMultiPortControlChannels:
         # Only even PRBs in [3, 13): 4, 6, 8, 10, 12.
         np.testing.assert_array_equal(subc // 12, [4, 6, 8, 10, 12])
         assert vals.shape == (1, 5)
+
+
+class TestPdschReservedRe:
+    """PDSCH rate matching around reserved RE patterns (CSI-RS, CORESET)
+    (reference: pdsch_processor_impl.cpp:77-96 compute_nof_data_re,
+    re_pattern.h)."""
+
+    def test_inclusion_count_matches_bruteforce(self):
+        from srsran_projectvtlmo_tpu.ran.re_pattern import (
+            RePattern, inclusion_count, reserved_mask_window)
+
+        rng = np.random.default_rng(3)
+        pats = (
+            RePattern(rb_begin=2, rb_end=20, re_mask=tuple(
+                bool(b) for b in rng.integers(0, 2, 12)), symbols=(3, 7)),
+            RePattern(rb_begin=10, rb_end=30, rb_stride=2, re_mask=tuple(
+                bool(b) for b in rng.integers(0, 2, 12)), symbols=(7, 9)),
+        )
+        rb_start, nof_rb, syms = 4, 18, [2, 3, 7, 9, 11]
+        # Brute force: enumerate every RE.
+        count = 0
+        for si, sym in enumerate(syms):
+            for prb in range(rb_start, rb_start + nof_rb):
+                for k in range(12):
+                    hit = any(
+                        sym in p.symbols and p.re_mask[k]
+                        and p.rb_begin <= prb < p.rb_end
+                        and (prb - p.rb_begin) % p.rb_stride == 0
+                        for p in pats)
+                    count += hit
+        assert inclusion_count(pats, rb_start, nof_rb, syms) == count
+        assert reserved_mask_window(pats, rb_start, nof_rb, syms).sum() == count
+
+    def test_csi_rs_inside_pdsch_loopback_decode(self):
+        """A slot where CSI-RS overlaps the PDSCH allocation: the PDSCH
+        rate-matches around the CSI-RS REs, the CSI-RS pilots land intact,
+        and the data round-trips through a PUSCH-style decode of exactly the
+        free REs."""
+        from srsran_projectvtlmo_tpu.ran.re_pattern import (
+            csi_rs_patterns, reserved_mask_window)
+        from srsran_projectvtlmo_tpu.ops.csi_rs import (
+            CsiRsConfig, csi_rs_pattern)
+        from srsran_projectvtlmo_tpu.phy.dl_slot import (
+            get_dl_slot_program, _pdsch_cfg)
+
+        cell = CellConfig(nof_rb=52, dft_size=1024, numerology=1,
+                          phys_cell_id=1)
+        phy = UpperPhy(cell)
+        slot = 3
+        csi_cfg = CsiRsConfig(nof_rb=24, prb_start=4, row=1, k_ref=(1,),
+                              symbol=5, density="three", scrambling_id=9,
+                              slot=slot)
+        reserved = csi_rs_patterns(csi_cfg)
+        csi_pdu = CsiRsPdu(nof_rb=24, prb_start=4, row=1, k_ref=(1,),
+                           symbol=5, density="three", scrambling_id=9)
+        pdsch = PdschPdu(rnti=0x77, rb_start=4, rb_size=24,
+                         modulation=Modulation.QAM16, target_code_rate=0.5,
+                         start_symbol=2, nof_symbols=12, dmrs_symbols=(3,),
+                         n_id=5, reserved=reserved)
+        req = DlTtiRequest(slot=slot, pdsch=(pdsch,), csi_rs=(csi_pdu,))
+        program = get_dl_slot_program(req, cell)
+        cfg = program.pdsch_cfgs[0]
+        # E shrank by exactly the reserved REs inside the allocation.
+        base_re = cfg.nof_subc * len(cfg.data_symbols)
+        assert cfg.nof_data_re < base_re
+        rng = np.random.default_rng(7)
+        tb = rng.integers(0, 2, cfg.tbs).astype(np.uint8)
+        grid, _ = phy.process_dl_slot(req, TxDataRequest(slot=slot,
+                                                         tb_bits=[tb]))
+        # CSI-RS pilots intact at the reserved positions.
+        symbols, subc, vals = csi_rs_pattern(csi_cfg)[0]
+        np.testing.assert_allclose(grid[int(symbols[0]), subc], vals[0],
+                                   atol=1e-6)
+        # PUSCH-style decode of exactly the free REs.
+        _assert_pdsch_decodes(grid, pdsch, cfg, tb)
+
+    def test_coreset_reservation_with_pdcch(self):
+        """PDSCH spanning the CORESET symbols rate-matches around the whole
+        reserved RBs; the PDCCH candidate there is untouched by PDSCH data."""
+        from srsran_projectvtlmo_tpu.ran.re_pattern import coreset_pattern
+        from srsran_projectvtlmo_tpu.phy.dl_slot import (
+            get_dl_slot_program, _pdsch_cfg)
+
+        cell = CellConfig(nof_rb=52, dft_size=1024, numerology=1,
+                          phys_cell_id=1, coreset_rb_start=0)
+        phy = UpperPhy(cell)
+        slot = 2
+        reserved = (coreset_pattern(rb_begin=0, rb_end=24, start_symbol=0,
+                                    duration=2),)
+        pdsch = PdschPdu(rnti=0x31, rb_start=0, rb_size=30,
+                         modulation=Modulation.QPSK, target_code_rate=0.4,
+                         start_symbol=0, nof_symbols=14, dmrs_symbols=(2,),
+                         n_id=3, reserved=reserved)
+        pdcch = PdcchPdu(rnti=0x31, nof_dci_bits=40, aggregation_level=4,
+                         cce_index=0, start_symbol=0, duration=2,
+                         coreset_rb_start=0, coreset_nof_rb=24, n_id=1,
+                         n_rnti=0x31)
+        req = DlTtiRequest(slot=slot, pdsch=(pdsch,), pdcch=(pdcch,))
+        program = get_dl_slot_program(req, cell)
+        cfg = program.pdsch_cfgs[0]
+        # 24 RBs x 12 REs x 2 symbols rate-matched around.
+        assert cfg.nof_subc * len(cfg.data_symbols) - cfg.nof_data_re \
+            == 24 * 12 * 2
+        rng = np.random.default_rng(9)
+        tb = rng.integers(0, 2, cfg.tbs).astype(np.uint8)
+        grid, _ = phy.process_dl_slot(req, TxDataRequest(slot=slot,
+                                                         tb_bits=[tb]))
+        # The non-reserved remainder of the CORESET symbols carries data.
+        assert np.abs(grid[0, 24 * 12:30 * 12]).min() > 0.0
+        _assert_pdsch_decodes(grid, pdsch, cfg, tb)
+
+
+def _assert_pdsch_decodes(grid, pdu, cfg, tb):
+    """PUSCH-style decode of the free (non-reserved) PDSCH REs: demap ->
+    descramble -> rate dematch -> LDPC decode -> bit equality + TB CRC."""
+    from srsran_projectvtlmo_tpu.ran.re_pattern import reserved_mask_window
+    from srsran_projectvtlmo_tpu.ran.modulation import bits_per_symbol
+    from srsran_projectvtlmo_tpu.ops.demodulation import soft_demap
+    from srsran_projectvtlmo_tpu.ops import prg as prg_mod
+    from srsran_projectvtlmo_tpu.ops.ldpc import rate_matching as rm
+    from srsran_projectvtlmo_tpu.ops.ldpc.decode import ldpc_decode
+    from srsran_projectvtlmo_tpu.ops.crc import crc_check_device
+
+    abs_data = [pdu.start_symbol + int(s) for s in cfg.data_symbols]
+    mask = reserved_mask_window(cfg.reserved, pdu.rb_start, pdu.rb_size,
+                                abs_data)
+    k0 = pdu.rb_start * 12
+    res = []
+    for di, sym in enumerate(abs_data):
+        row = grid[sym, k0:k0 + cfg.nof_subc]
+        res.append(row[~mask[di]])
+    syms = np.concatenate(res)
+    assert len(syms) == cfg.nof_data_re
+    pair = np.stack([syms.real, syms.imag], -1).astype(np.float32)[None]
+    nvar = np.full((1, len(syms)), 1e-3, np.float32)
+    llr = np.asarray(soft_demap(jnp.asarray(pair), jnp.asarray(nvar),
+                                cfg.modulation))
+    # Descramble with the PDU's identity (the program cfg is
+    # shape-normalized to rnti=0; scrambling rides as a value input).
+    cinit = ((pdu.rnti << 15) + pdu.n_id) & 0x7FFFFFFF
+    scr = prg_mod.gold_sequence_bits(cinit, cfg.nof_codeword_bits)
+    llr = np.clip(llr.astype(np.int32) * (1 - 2 * scr.astype(np.int32))[None],
+                  -127, 127).astype(np.int8)
+    seg = cfg.segmentation
+    es = cfg.cb_rate_match_sizes()
+    qm = bits_per_symbol(cfg.modulation)
+    offs = np.concatenate([[0], np.cumsum(es)]).astype(int)
+    softs = []
+    for j in range(seg.nof_cb):
+        softs.append(np.asarray(rm.rate_dematch(
+            jnp.asarray(llr[:, offs[j]:offs[j + 1]])[:, None],
+            seg.base_graph, seg.lifting_size, seg.nof_filler_bits_per_cb,
+            pdu.rv, es[j], qm))[0, 0])
+    hard, _ = ldpc_decode(jnp.asarray(np.stack(softs)), seg.base_graph,
+                          seg.lifting_size, nof_iterations=6)
+    hard = np.asarray(hard)
+    kp = seg.nof_payload_bits_per_cb
+    payload = hard[:, :kp - seg.cb_crc_bits] if seg.cb_crc_bits \
+        else hard[:, :kp]
+    flat = payload.reshape(-1)[:cfg.tbs + seg.tb_crc_bits]
+    crc_name = "CRC24A" if seg.tb_crc_bits == 24 else "CRC16"
+    assert bool(np.asarray(crc_check_device(jnp.asarray(flat[None]),
+                                            crc_name))[0]), "TB CRC failed"
+    np.testing.assert_array_equal(flat[:cfg.tbs], tb)
