@@ -36,6 +36,21 @@ F0_DETECTION_THRESHOLD = 4.0
 F1_DETECTION_THRESHOLD = 4.0
 
 
+def _with_ports(rx):
+    """Accept (B, S, N, 2) single-port or (B, P, S, N, 2) multi-port REs.
+
+    All three processors combine every rx port like the reference
+    (non-coherent metric accumulation for detection, MRC for demodulation;
+    reference: pucch_detector_format0.cpp sum over ports,
+    pucch_detector_impl.cpp:225-241 equalize over config.ports).
+    """
+    if rx.ndim == 4:
+        return rx[:, None]
+    if rx.ndim != 5:
+        raise ValueError(f"expected 4-D or 5-D PUCCH REs, got shape {rx.shape}")
+    return rx
+
+
 def _cyclic_shift_hopping(n_id: int, slot: int, symbol: int) -> int:
     """n_cs(n_s, l) from the Gold sequence with c_init = n_id (Section 6.3.2.2.2)."""
     offset = 8 * (14 * slot + symbol)
@@ -69,24 +84,27 @@ class PucchFormat0Config:
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def detect_pucch_format0(rx_prb_pair, cfg: PucchFormat0Config):
-    """Detect format 0 on (B, nof_symbols, 12, 2) received REs.
+    """Detect format 0 on (B, [P,] nof_symbols, 12, 2) received REs.
 
     Returns (harq_bits (B, nof_harq) uint8, detection_metric (B,), sr (B,) bool).
     """
     cands = _f0_candidates(cfg.n_id, cfg.slot, cfg.start_symbol, cfg.nof_symbols,
                            cfg.initial_cyclic_shift)
-    y = to_cplx(rx_prb_pair)  # (B, S, 12)
+    y = to_cplx(_with_ports(rx_prb_pair))  # (B, P, S, 12)
     c = jnp.asarray(cands)  # (12, S, 12)
     # Reference detection metric (pucch_detector_format0.cpp:130-190): per
-    # (candidate, symbol) corr = |mean(y conj(c))|^2, noise = avg LSE power
-    # minus corr, metric = sum_corr^2 / sum(noise*corr), threshold 4.0 for a
-    # ~1% false-alarm probability.
-    lse_mean = jnp.einsum("bsn,msn->bms", y, jnp.conj(c)) / NRE  # (B, 12, S)
-    corr_s = jnp.abs(lse_mean) ** 2  # (B, 12, S)
-    avg_pwr = jnp.mean(jnp.abs(y) ** 2, axis=-1)  # (B, S); |c| = 1
-    noise_s = jnp.maximum(avg_pwr[:, None, :] - corr_s, 0.0)
-    sum_corr = jnp.sum(corr_s, axis=-1)  # (B, 12)
-    sum_nv = jnp.sum(noise_s * corr_s, axis=-1)
+    # (candidate, symbol, port) corr = |mean(y conj(c))|^2, noise = avg LSE
+    # power minus corr, accumulated over symbols AND rx ports; metric =
+    # sum_corr^2 / sum(noise*corr), threshold 4.0 for a ~1% false-alarm
+    # probability (the reference keeps the same constant for every port
+    # count; the H0 statistic stays far below it — see
+    # tests/test_pucch_calibration.py multi-port sweeps).
+    lse_mean = jnp.einsum("bpsn,msn->bmps", y, jnp.conj(c)) / NRE  # (B, 12, P, S)
+    corr_s = jnp.abs(lse_mean) ** 2  # (B, 12, P, S)
+    avg_pwr = jnp.mean(jnp.abs(y) ** 2, axis=-1)  # (B, P, S); |c| = 1
+    noise_s = jnp.maximum(avg_pwr[:, None] - corr_s, 0.0)
+    sum_corr = jnp.sum(corr_s, axis=(-1, -2))  # (B, 12)
+    sum_nv = jnp.sum(noise_s * corr_s, axis=(-1, -2))
     metric = jnp.where(sum_nv > 1e-30, sum_corr * sum_corr / sum_nv,
                        jnp.where(sum_corr > 1e-12, 1e9, 0.0))
     metric = metric / F0_DETECTION_THRESHOLD  # normalized: > 1 = detection
@@ -165,39 +183,43 @@ def _f1_tables(cfg: PucchFormat1Config):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def detect_pucch_format1(rx_prb_pair, cfg: PucchFormat1Config):
-    """Detect format 1 on (B, nof_symbols, 12, 2) received REs.
+    """Detect format 1 on (B, [P,] nof_symbols, 12, 2) received REs.
 
     Returns (harq_bits (B, nof_harq) uint8, metric (B,)).
     """
     seqs, w_data_h, w_dmrs_h = _f1_tables(cfg)
-    y = to_cplx(rx_prb_pair)  # (B, S, 12)
+    y = to_cplx(_with_ports(rx_prb_pair))  # (B, P, S, 12)
     r = jnp.asarray(seqs)
-    # Despread the base sequence from every symbol.
-    z = jnp.sum(y * jnp.conj(r)[None], axis=-1) / NRE  # (B, S)
+    # Despread the base sequence from every symbol, per rx port.
+    z = jnp.sum(y * jnp.conj(r)[None, None], axis=-1) / NRE  # (B, P, S)
 
-    # Per hop: OCC despread with the hop's own spreading factor, per-hop
-    # channel, then combine (maximum-ratio across hops).
+    # Per hop and per rx port: OCC despread with the hop's own spreading
+    # factor and a per-(hop, port) channel estimate; the decision variable
+    # maximum-ratio-combines over hops AND ports (x = sum d conj(h)), and
+    # the detection statistic accumulates corr/noise over both — the
+    # reference equalizes across all config.ports before marginalizing
+    # (pucch_detector_impl.cpp:225-241).
     x = 0.0
     sum_corr = 0.0
     sum_nv = 0.0
     for k, (a, b) in enumerate(_f1_hop_ranges(cfg)):
         dmrs_idx = [s for s in range(a, b) if s % 2 == 0]
         data_idx = [s for s in range(a, b) if s % 2 == 1]
-        dmrs = z[:, jnp.asarray(dmrs_idx)]
-        data = z[:, jnp.asarray(data_idx)]
+        dmrs = z[:, :, jnp.asarray(dmrs_idx)]  # (B, P, Nd)
+        data = z[:, :, jnp.asarray(data_idx)]
         w_dmrs = jnp.asarray(w_dmrs_h[k])
         w_data = jnp.asarray(w_data_h[k])
-        h = jnp.sum(dmrs * jnp.conj(w_dmrs)[None], axis=-1) / len(w_dmrs)
-        d = jnp.sum(data * jnp.conj(w_data)[None], axis=-1) / len(w_data)
-        x = x + d * jnp.conj(h)
-        corr_d = jnp.abs(h) ** 2
+        h = jnp.sum(dmrs * jnp.conj(w_dmrs)[None, None], axis=-1) / len(w_dmrs)
+        d = jnp.sum(data * jnp.conj(w_data)[None, None], axis=-1) / len(w_data)
+        x = x + jnp.sum(d * jnp.conj(h), axis=1)  # (B,)
+        corr_d = jnp.abs(h) ** 2  # (B, P)
         corr_x = jnp.abs(d) ** 2
         nv_dmrs = jnp.maximum(
-            jnp.mean(jnp.abs(dmrs - h[:, None] * w_dmrs[None]) ** 2, -1), 0.0)
+            jnp.mean(jnp.abs(dmrs - h[..., None] * w_dmrs[None, None]) ** 2, -1), 0.0)
         nv_data = jnp.maximum(
-            jnp.mean(jnp.abs(data - d[:, None] * w_data[None]) ** 2, -1), 0.0)
-        sum_corr = sum_corr + corr_d + corr_x
-        sum_nv = sum_nv + nv_dmrs * corr_d + nv_data * corr_x
+            jnp.mean(jnp.abs(data - d[..., None] * w_data[None, None]) ** 2, -1), 0.0)
+        sum_corr = sum_corr + jnp.sum(corr_d + corr_x, axis=1)
+        sum_nv = sum_nv + jnp.sum(nv_dmrs * corr_d + nv_data * corr_x, axis=1)
 
     if cfg.nof_harq_bits == 1:
         bits = (jnp.real(x) <= 0).astype(jnp.uint8)[:, None]
@@ -213,10 +235,17 @@ def detect_pucch_format1(rx_prb_pair, cfg: PucchFormat1Config):
     # With intra-slot hopping corr and nv each sum over the hops, which
     # roughly doubles corr^2/nv versus the single-hop statistic the
     # threshold was calibrated for — dividing by the hop count restores the
-    # same operating point for hopping and non-hopping configurations.
+    # same operating point for hopping and non-hopping configurations.  The
+    # port sum scales the H0 statistic the same way (its mean grows
+    # linearly in the number of accumulated terms), so the metric is also
+    # normalized by the rx port count: the per-port-averaged statistic
+    # keeps the calibrated ~1% false-alarm point at every port count while
+    # retaining the diversity gain of combining (4-port >= 1-port detection
+    # at fixed false alarm, tests/test_pucch_calibration.py).
     nof_hops = len(_f1_hop_ranges(cfg))
+    nof_ports = y.shape[1]
     metric = jnp.where(sum_nv > 1e-30,
-                       sum_corr * sum_corr / (sum_nv * nof_hops),
+                       sum_corr * sum_corr / (sum_nv * nof_hops * nof_ports),
                        jnp.where(sum_corr > 1e-12, 1e9, 0.0))
     return bits, metric / F1_DETECTION_THRESHOLD
 
@@ -259,27 +288,38 @@ def _f2_dmrs_ref(cfg: PucchFormat2Config) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def process_pucch_format2(rx_prbs_pair, cfg: PucchFormat2Config):
-    """Demodulate+decode format 2 on (B, nof_symbols, 12*nof_prb, 2) REs.
+    """Demodulate+decode format 2 on (B, [P,] nof_symbols, 12*nof_prb, 2) REs.
+
+    Rx ports are maximum-ratio combined with per-port noise weighting (the
+    reference demodulates through the channel equalizer over all configured
+    ports, pucch_demodulator_impl.cpp + channel_equalizer 1xN closed form).
 
     Returns (uci_bits (B, K) uint8, valid (B,)).
     """
-    y = to_cplx(rx_prbs_pair)  # (B, S, 12*PRB)
+    y = to_cplx(_with_ports(rx_prbs_pair))  # (B, P, S, 12*PRB)
     data_idx = jnp.asarray(_f2_data_subc(cfg.nof_prb))
     dmrs_idx = jnp.asarray(_f2_dmrs_subc(cfg.nof_prb))
     ref = jnp.asarray(_f2_dmrs_ref(cfg))  # (S, 4*PRB)
 
-    pilots = y[:, :, dmrs_idx]
-    lse = pilots * jnp.conj(ref)[None] / (jnp.abs(ref) ** 2)[None]  # (B, S, 4*PRB)
+    pilots = y[..., dmrs_idx]
+    lse = pilots * jnp.conj(ref)[None, None] / (jnp.abs(ref) ** 2)[None, None]
     # Channel estimate per RB (average its 4 pilots), broadcast to the 8 data REs.
-    lse_rb = lse.reshape(lse.shape[:-1] + (cfg.nof_prb, 4)).mean(-1)  # (B, S, PRB)
+    lse_rb = lse.reshape(lse.shape[:-1] + (cfg.nof_prb, 4)).mean(-1)  # (B, P, S, PRB)
     h_data = jnp.repeat(lse_rb, 8, axis=-1)  # matches data_idx ordering
 
-    noise = jnp.mean(jnp.abs(pilots - jnp.repeat(lse_rb, 4, -1) * ref[None]) ** 2,
-                     axis=(-1, -2))  # (B,)
-    d = y[:, :, data_idx]
-    h_sq = jnp.maximum(jnp.abs(h_data) ** 2, 1e-12)
-    eq = d * jnp.conj(h_data) / h_sq
-    eq_nvar = jnp.maximum(noise, 1e-9)[:, None, None] / h_sq  # (B, S, 8*PRB)
+    noise = jnp.mean(
+        jnp.abs(pilots - jnp.repeat(lse_rb, 4, -1) * ref[None, None]) ** 2,
+        axis=(-1, -2))  # (B, P)
+    inv_nv = 1.0 / jnp.maximum(noise, 1e-9)[:, :, None, None]
+    d = y[..., data_idx]
+    # MRC over the port axis: eq = sum_p d conj(h)/nv / sum_p |h|^2/nv,
+    # post-equalization noise variance 1 / sum_p |h|^2/nv (matched-filter
+    # SNR addition; reference equalize_mmse_1xn.h:44-96 semantics with
+    # per-port noise).
+    num = jnp.sum(d * jnp.conj(h_data) * inv_nv, axis=1)  # (B, S, 8*PRB)
+    den = jnp.maximum(jnp.sum(jnp.abs(h_data) ** 2 * inv_nv, axis=1), 1e-12)
+    eq = num / den
+    eq_nvar = 1.0 / den  # (B, S, 8*PRB)
 
     eq_flat = eq.reshape(eq.shape[0], -1)
     pair = jnp.stack([jnp.real(eq_flat), jnp.imag(eq_flat)], -1)

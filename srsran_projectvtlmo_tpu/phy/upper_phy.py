@@ -71,6 +71,14 @@ class CellConfig:
     ssb_subc_offset: int = 0
     #: First RB of the CORESET for PDCCH placement.
     coreset_rb_start: int = 0
+    #: Store the assembled DL resource grid as bfloat16 real pairs (the
+    #: TPU-native analog of the reference's cbf16 grid storage, reference:
+    #: lib/phy/support/resource_grid_impl.h:41-51).  Assembly still
+    #: ACCUMULATES in float32 (precoding einsums, overlapping adds); only
+    #: the materialized grid — what the OFDM modulator reads and what
+    #: crosses the device boundary — is quantized.  EVM-bounded parity:
+    #: tests/test_bf16_grid.py::test_dl_bf16_grid_parity.
+    grid_bf16: bool = True
 
     @property
     def nof_subc(self) -> int:
@@ -430,9 +438,14 @@ class UpperPhy:
         )
 
     def _process_pucch(self, slot, pdu, grid):
+        # Slice the allocation out of the DEVICE grid for ALL rx ports —
+        # (1, P, S, 12*nof_prb, 2) — and hand it to the jitted detector; the
+        # reference combines every configured port
+        # (pucch_detector_impl.cpp:225-241) and reads REs from the shared
+        # grid without copying it off-device.
         k0 = pdu.prb_start * 12
-        sub = to_host(grid)[0, pdu.start_symbol:pdu.start_symbol + pdu.nof_symbols,
-                               k0:k0 + pdu.nof_prb * 12, :]
+        sub = grid[:, pdu.start_symbol:pdu.start_symbol + pdu.nof_symbols,
+                   k0:k0 + pdu.nof_prb * 12, :][None]
         if pdu.format == 0:
             f0 = pucch_mod.PucchFormat0Config(
                 n_id=pdu.n_id, slot=slot, start_symbol=pdu.start_symbol,
@@ -440,7 +453,7 @@ class UpperPhy:
                 initial_cyclic_shift=pdu.initial_cyclic_shift,
                 nof_harq_bits=pdu.nof_harq_bits, sr_opportunity=pdu.sr_opportunity,
             )
-            bits, metric, sr = pucch_mod.detect_pucch_format0(jnp.asarray(sub[None]), f0)
+            bits, metric, sr = pucch_mod.detect_pucch_format0(sub, f0)
             return UciIndication(slot=slot, rnti=pdu.rnti,
                                  harq_bits=to_host(bits)[0], uci_bits=None,
                                  valid=bool(to_host(metric)[0] > 1.0),
@@ -455,17 +468,17 @@ class UpperPhy:
                 intra_slot_hopping=hop is not None,
             )
             if hop is not None:
-                # Second-hop symbols take their 12 REs from the hop's PRB.
-                g0 = to_host(grid)[0]
+                # Second-hop symbols take their 12 REs from the hop's PRB
+                # (still on device, all ports).
                 half = pdu.nof_symbols // 2
                 k1 = hop * 12
-                sub = np.concatenate([
-                    g0[pdu.start_symbol:pdu.start_symbol + half,
-                       k0:k0 + 12, :],
-                    g0[pdu.start_symbol + half:pdu.start_symbol + pdu.nof_symbols,
-                       k1:k1 + 12, :],
-                ], axis=0)
-            bits, metric = pucch_mod.detect_pucch_format1(jnp.asarray(sub[None]), f1)
+                sub = jnp.concatenate([
+                    grid[:, pdu.start_symbol:pdu.start_symbol + half,
+                         k0:k0 + 12, :],
+                    grid[:, pdu.start_symbol + half:pdu.start_symbol + pdu.nof_symbols,
+                         k1:k1 + 12, :],
+                ], axis=1)[None]
+            bits, metric = pucch_mod.detect_pucch_format1(sub, f1)
             return UciIndication(slot=slot, rnti=pdu.rnti,
                                  harq_bits=to_host(bits)[0], uci_bits=None,
                                  valid=bool(to_host(metric)[0] > 1.0))
@@ -475,7 +488,7 @@ class UpperPhy:
                 start_symbol=pdu.start_symbol, nof_symbols=pdu.nof_symbols,
                 nof_prb=pdu.nof_prb, nof_uci_bits=pdu.nof_uci_bits,
             )
-            bits, ok = pucch_mod.process_pucch_format2(jnp.asarray(sub[None]), f2)
+            bits, ok = pucch_mod.process_pucch_format2(sub, f2)
             return UciIndication(slot=slot, rnti=pdu.rnti,
                                  harq_bits=np.empty(0, np.uint8),
                                  uci_bits=to_host(bits)[0],

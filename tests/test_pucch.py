@@ -96,6 +96,88 @@ class TestFormat2:
         np.testing.assert_array_equal(np.asarray(bits)[0], msg)
 
 
+class TestMultiPort:
+    """Rx-port combining: 5-D (B, P, S, N, 2) inputs; P=1 matches the 4-D
+    path exactly and 4-port MRC decodes where a single port cannot."""
+
+    def test_port_axis_identity(self):
+        cfg = pucch.PucchFormat1Config(
+            n_id=30, slot=1, start_symbol=0, nof_symbols=14,
+            initial_cyclic_shift=3, time_domain_occ=0, nof_harq_bits=2)
+        rng = np.random.default_rng(6)
+        rx = (rng.normal(size=(3, 14, 12))
+              + 1j * rng.normal(size=(3, 14, 12))).astype(np.complex64)
+        pair = cplx_pair(rx)
+        b4, m4 = pucch.detect_pucch_format1(jnp.asarray(pair), cfg)
+        b5, m5 = pucch.detect_pucch_format1(jnp.asarray(pair[:, None]), cfg)
+        np.testing.assert_array_equal(np.asarray(b4), np.asarray(b5))
+        np.testing.assert_allclose(np.asarray(m4), np.asarray(m5), rtol=1e-6)
+
+    def test_format2_mrc_4ports(self):
+        """Independent per-port channels, heavy noise: 4-port MRC recovers
+        the UCI payload."""
+        k, prb, nsym = 11, 2, 2
+        cfg = pucch.PucchFormat2Config(
+            n_id=9, n_id0=11, rnti=0x777, slot=2, start_symbol=12,
+            nof_symbols=nsym, nof_prb=prb, nof_uci_bits=k)
+        rng = np.random.default_rng(7)
+        msg = rng.integers(0, 2, k).astype(np.uint8)
+        e = 16 * prb * nsym
+        coded = uci_mod.uci_encode(msg, e, bits_per_symbol=2)
+        cinit = ((cfg.rnti << 15) + cfg.n_id) & 0x7FFFFFFF
+        scr = coded ^ prg_mod.gold_sequence_bits(cinit, e)
+        sym = ((1 - 2 * scr[0::2].astype(np.float64))
+               + 1j * (1 - 2 * scr[1::2].astype(np.float64)))
+        sym = (sym / np.sqrt(2)).astype(np.complex64).reshape(nsym, 8 * prb)
+        tx = np.zeros((nsym, 12 * prb), np.complex64)
+        tx[:, pucch._f2_data_subc(prb)] = sym
+        tx[:, pucch._f2_dmrs_subc(prb)] = pucch._f2_dmrs_ref(cfg)
+        h = (rng.normal(size=4) + 1j * rng.normal(size=4)) / np.sqrt(2)
+        rx = tx[None] * h[:, None, None]
+        rx = rx + 0.35 * (rng.normal(size=rx.shape) + 1j * rng.normal(size=rx.shape))
+        bits, ok = pucch.process_pucch_format2(
+            jnp.asarray(cplx_pair(rx.astype(np.complex64))[None]), cfg)
+        assert bool(np.asarray(ok)[0])
+        np.testing.assert_array_equal(np.asarray(bits)[0], msg)
+
+
+    def test_upper_phy_4port_cell(self):
+        """End-to-end through UpperPhy: a 4-rx-port cell combines every port
+        (the production path slices the device grid once, all ports)."""
+        from srsran_projectvtlmo_tpu.fapi.pdus import (
+            UlTtiRequest, PucchPdu, UciIndication)
+        from srsran_projectvtlmo_tpu.phy.upper_phy import CellConfig, UpperPhy
+        from srsran_projectvtlmo_tpu.ops import ofdm
+        from srsran_projectvtlmo_tpu.utils.cplx import np_to_pair
+
+        cell = CellConfig(nof_rb=24, dft_size=512, numerology=1, nof_rx_ports=4)
+        phy = UpperPhy(cell)
+        cfg = pucch.PucchFormat1Config(
+            n_id=cell.phys_cell_id, slot=0, start_symbol=0, nof_symbols=14,
+            initial_cyclic_shift=2, time_domain_occ=0, nof_harq_bits=2)
+        seqs, (w_data,), (w_dmrs,) = pucch._f1_tables(cfg)
+        d = ((1 - 2 * 1) + 1j * (1 - 2 * 1)) / np.sqrt(2)  # bits (1, 1)
+        rng = np.random.default_rng(8)
+        h = (rng.normal(size=4) + 1j * rng.normal(size=4)) / np.sqrt(2)
+        carrier = np.zeros((4, 14, cell.nof_subc), np.complex64)
+        for i, s in enumerate(range(0, 14, 2)):
+            carrier[:, s, 5 * 12:6 * 12] = h[:, None] * w_dmrs[i] * seqs[s][None]
+        for i, s in enumerate(range(1, 14, 2)):
+            carrier[:, s, 5 * 12:6 * 12] = h[:, None] * d * w_data[i] * seqs[s][None]
+        carrier += 0.05 * (rng.normal(size=carrier.shape)
+                           + 1j * rng.normal(size=carrier.shape))
+        samples = np.asarray(ofdm.ofdm_modulate(
+            jnp.asarray(np_to_pair(carrier)), cell.dft_size, 1, 0))
+        pdu = PucchPdu(format=1, rnti=0x42, prb_start=5, nof_prb=1,
+                       start_symbol=0, nof_symbols=14, initial_cyclic_shift=2,
+                       time_domain_occ=0, nof_harq_bits=2,
+                       n_id=cell.phys_cell_id)
+        inds = phy.process_ul_slot(UlTtiRequest(slot=0, pucch=(pdu,)), samples)
+        uci = [i for i in inds if isinstance(i, UciIndication)]
+        assert len(uci) == 1 and uci[0].valid
+        np.testing.assert_array_equal(uci[0].harq_bits, [1, 1])
+
+
 def test_group_hopping_varies_per_slot():
     from srsran_projectvtlmo_tpu.ops.low_papr import pucch_group_sequence
     us = {pucch_group_sequence(301, group_hopping=True, slot=s)[0] for s in range(10)}

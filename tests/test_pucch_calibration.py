@@ -46,6 +46,70 @@ class TestFalseAlarm:
         assert fa <= 0.05, f"format 1 false-alarm rate {fa:.3f}"
 
 
+class TestFalseAlarmMultiPort:
+    """The fixed threshold stays valid when corr/noise accumulate over 4 rx
+    ports (reference: same constant for every port count,
+    pucch_detector_format0.cpp sum over ports)."""
+
+    def test_format0_noise_only_4port(self):
+        rng = np.random.default_rng(10)
+        cfg = _f0_cfg()
+        trials = 200
+        noise = (rng.normal(size=(trials, 4, 2, 12))
+                 + 1j * rng.normal(size=(trials, 4, 2, 12))) / np.sqrt(2)
+        pair = np.stack([noise.real, noise.imag], -1).astype(np.float32)
+        _, metric, _ = pucch_mod.detect_pucch_format0(jnp.asarray(pair), cfg)
+        fa = float(np.mean(np.asarray(metric) > 1.0))
+        assert fa <= 0.05, f"format 0 4-port false-alarm rate {fa:.3f}"
+
+    def test_format1_noise_only_4port(self):
+        rng = np.random.default_rng(11)
+        cfg = _f1_cfg()
+        trials = 200
+        noise = (rng.normal(size=(trials, 4, 8, 12))
+                 + 1j * rng.normal(size=(trials, 4, 8, 12))) / np.sqrt(2)
+        pair = np.stack([noise.real, noise.imag], -1).astype(np.float32)
+        _, metric = pucch_mod.detect_pucch_format1(jnp.asarray(pair), cfg)
+        fa = float(np.mean(np.asarray(metric) > 1.0))
+        assert fa <= 0.05, f"format 1 4-port false-alarm rate {fa:.3f}"
+
+
+class TestMultiPortGain:
+    """At a marginal SNR, 4-port combining detects at least as often as one
+    port (the ~6 dB combining gain the reference's port loop buys,
+    pucch_detector_impl.cpp:225-241)."""
+
+    def _f1_rx(self, cfg, rng, nof_ports, snr_db):
+        seqs, (w_data,), (w_dmrs,) = pucch_mod._f1_tables(cfg)
+        d = ((1 - 2 * 1) + 1j * (1 - 2 * 0)) / np.sqrt(2)  # bits (1, 0)
+        amp = 10 ** (snr_db / 20.0)
+        h = (rng.normal(size=nof_ports)
+             + 1j * rng.normal(size=nof_ports)) / np.sqrt(2)
+        grid = np.zeros((nof_ports, cfg.nof_symbols, 12), np.complex64)
+        for i, s in enumerate(range(0, cfg.nof_symbols, 2)):
+            grid[:, s] = amp * h[:, None] * w_dmrs[i] * seqs[s][None]
+        for i, s in enumerate(range(1, cfg.nof_symbols, 2)):
+            grid[:, s] = amp * h[:, None] * d * w_data[i] * seqs[s][None]
+        grid += (rng.normal(size=grid.shape)
+                 + 1j * rng.normal(size=grid.shape)) / np.sqrt(2)
+        return np.stack([grid.real, grid.imag], -1).astype(np.float32)
+
+    def test_format1_4port_beats_1port(self):
+        cfg = _f1_cfg()
+        trials = 60
+        snr_db = -6.0
+        hits = {1: 0, 4: 0}
+        for nof_ports in (1, 4):
+            rng = np.random.default_rng(12)  # same channel/noise draws
+            for _ in range(trials):
+                pair = self._f1_rx(cfg, rng, nof_ports, snr_db)
+                _, metric = pucch_mod.detect_pucch_format1(
+                    jnp.asarray(pair[None]), cfg)
+                hits[nof_ports] += int(float(np.asarray(metric)[0]) > 1.0)
+        assert hits[4] >= hits[1], f"4-port {hits[4]} < 1-port {hits[1]}"
+        assert hits[4] >= trials // 2, f"4-port detected only {hits[4]}/{trials}"
+
+
 class TestDetection:
     def test_format0_detects_at_5db(self):
         """Transmitted F0 (bits 1,0) detects reliably at 5 dB SNR."""
