@@ -218,6 +218,42 @@ def child_ldpc_packed(z: int, batch: int, iters_ldpc: int, reps: int):
             "vs_baseline": round(mbps / 1278.0, 4)}
 
 
+def child_pusch_6it(batch: int, iters_ldpc: int):
+    """Device-bound north-star PUSCH rate with the LDPC decoder running the
+    FULL iteration budget (random REs never pass CRC, so early stop cannot
+    exit): evidences the real-time margin at an operating point near the
+    decode threshold (~29 dB) where iterations go to 6, not at the
+    34 dB/2-iteration point every other line measures (the reference sweeps
+    iteration counts, ldpc_decoder_benchmark.cpp)."""
+    import numpy as np
+    from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    from srsran_projectvtlmo_tpu.models.pusch_rx import (
+        PuschRxConfig, build_pusch_rx_slot)
+    from srsran_projectvtlmo_tpu.ran.modulation import Modulation
+    from srsran_projectvtlmo_tpu.ops import ofdm as ofdm_mod
+
+    sys.path.insert(0, os.path.join(HERE, "tools"))
+    from device_time import profile_device
+
+    cfg = PuschRxConfig(nof_rb=273, modulation=Modulation.QAM256,
+                        target_code_rate=948.0 / 1024.0,
+                        nof_rx_ports=4, nof_layers=2, dft_size=4096,
+                        numerology=1, use_pallas_decoder=True,
+                        ldpc_early_stop=True, nof_ldpc_iterations=iters_ldpc)
+    rx = build_pusch_rx_slot(cfg)
+    rng = np.random.default_rng(0)
+    nsamp = ofdm_mod.slot_sample_count(cfg.dft_size, cfg.numerology, 0)
+    x = jnp.asarray(rng.normal(size=(batch, 4, nsamp, 2)).astype(np.float32) * 0.3)
+    dev_s, _ = profile_device(lambda a: rx(a)["tb_crc_ok"], x, reps=3)
+    rate = batch / dev_s
+    return {"metric": f"pusch_rx_device_bound_slot_rate_4port_2layer_{iters_ldpc}it_full",
+            "value": round(rate, 1),
+            "unit": f"slots/s (op-profile, batch {batch}, no early-stop exit)",
+            "vs_baseline": round(rate / 2000.0, 4)}
+
+
 def child_latency(iters_ldpc: int):
     """Small-batch device latency of the north-star PUSCH slot against the
     max_proc_delay budget (2 slots x 0.5 ms)."""
@@ -308,6 +344,13 @@ def child_multicell(ncells: int, iters_ldpc: int):
     stacked = program.stack_values([args_one] * ncells)
     dl_dev, _ = profile_device(
         lambda st: program.run_stacked(2, st)[1], stacked, reps=3)
+    # Emit the DL half immediately: if the UL half times out under the
+    # driver's budget, this measurement still lands in the record.
+    print(json.dumps({
+        "metric": f"multi_cell{ncells}_dl_aggregate_cell_slot_rate",
+        "value": round(ncells / dl_dev, 1),
+        "unit": f"cell-slots/s device-bound ({ncells} DL cells/launch)",
+        "vs_baseline": round((ncells / dl_dev) / 2000.0, 4)}), flush=True)
 
     # UL: the production dynamic-params batched program, retransmitting
     # cells contributing stored soft bits.
@@ -357,22 +400,37 @@ def child_multicell(ncells: int, iters_ldpc: int):
             "vs_baseline": round(agg / 2000.0, 4)}
 
 
-def run_child(spec: dict, budget_s: int, argv=None):
+def run_child(spec: dict, budget_s: int, argv=None, name=None):
+    """Run one benchmark child under a watchdog.
+
+    Child failures are LOUD: a timeout / nonzero exit / silent child prints
+    an explicit `{"metric": "<name>_failed"}` line (with the cause in
+    `unit`) so the round-over-round record shows WHAT failed instead of the
+    measurement silently vanishing (round-4 lesson: the multicell number
+    never reached BENCH_r04.json).  Metric lines the child printed before
+    dying are still passed through.
+    """
     env = dict(os.environ)
     env["BENCH_CHILD_SPEC"] = json.dumps(spec)
     if "env" in spec:
         env.update(spec.pop("env"))
     cmd = ([sys.executable, "-u"] + argv if argv else
            [sys.executable, "-u", os.path.abspath(__file__)])
+    failure = None
+    stdout, stderr = "", ""
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=budget_s, env=env)
-    except subprocess.TimeoutExpired:
-        return None
-    if proc.returncode != 0:
-        return None
+        stdout, stderr = proc.stdout or "", proc.stderr or ""
+        if proc.returncode != 0:
+            failure = f"child failed rc={proc.returncode}"
+    except subprocess.TimeoutExpired as exc:
+        def _txt(v):
+            return v.decode(errors="replace") if isinstance(v, bytes) else (v or "")
+        stdout, stderr = _txt(exc.stdout), _txt(exc.stderr)
+        failure = f"child timeout after {budget_s}s"
     result = None
-    for line in proc.stdout.strip().splitlines():
+    for line in stdout.strip().splitlines():
         if not line.startswith("{"):
             continue
         try:
@@ -386,6 +444,20 @@ def run_child(spec: dict, budget_s: int, argv=None):
             # (the driver keeps the LAST line as the headline).
             print(json.dumps(result))
         result = parsed
+    if failure is not None:
+        if result is not None:
+            # Partial output before dying: keep the measurements, still flag.
+            print(json.dumps(result))
+        tail = stderr.strip().splitlines()[-1][:160] if stderr.strip() else ""
+        print(json.dumps({
+            "metric": f"{name or spec.get('kind', 'child')}_failed", "value": 0,
+            "unit": (failure + (": " + tail if tail else ""))[:200],
+            "vs_baseline": 0}))
+        return None
+    if result is None and name is not None:
+        print(json.dumps({"metric": f"{name}_failed", "value": 0,
+                          "unit": "child exited 0 without a metric line",
+                          "vs_baseline": 0}))
     return result
 
 
@@ -398,7 +470,7 @@ def main() -> None:
             return  # scripts run directly, not through the child protocol
         result = {"pusch4": child_pusch_4port, "pusch1": child_pusch_1port,
                   "ldpc": child_ldpc, "ldpc_packed": child_ldpc_packed,
-                  "latency": child_latency,
+                  "latency": child_latency, "pusch4_6it": child_pusch_6it,
                   "multicell": child_multicell}[kind](**spec)
         print(json.dumps(result))
         return
@@ -409,15 +481,22 @@ def main() -> None:
     # child just skips its lines).  The DRIVER keeps the LAST JSON line as
     # the headline, so the north-star PUSCH child runs last.
     secondaries = [
-        ({"kind": "script", "env": {"ROUNDS": "5"}}, 1500,
+        ("dl_slot_bench", {"kind": "script", "env": {"ROUNDS": "5"}}, 1500,
          [os.path.join(HERE, "benchmarks", "dl_slot_bench.py")]),
-        ({"kind": "multicell", "ncells": 4, "iters_ldpc": 2}, 1200, None),
-        ({"kind": "ldpc_packed", "z": 208, "batch": 512, "iters_ldpc": 2,
+        ("multi_cell4_dl_ul_aggregate_cell_slot_rate",
+         {"kind": "multicell", "ncells": 4, "iters_ldpc": 2}, 1800, None),
+        ("ldpc_decode_packed_bg1_z208_2it",
+         {"kind": "ldpc_packed", "z": 208, "batch": 512, "iters_ldpc": 2,
           "reps": 10}, 700, None),
-        ({"kind": "latency", "iters_ldpc": 2}, 700, None),
+        ("pusch_rx_device_latency", {"kind": "latency", "iters_ldpc": 2}, 700, None),
+        # Worst-case decode cost: 6 full min-sum iterations on
+        # non-converging codewords — the operating point ~1 dB above the
+        # LDPC waterfall where early stop cannot exit (VERDICT r4 item 9).
+        ("pusch_rx_6it_threshold",
+         {"kind": "pusch4_6it", "batch": 32, "iters_ldpc": 6}, 900, None),
     ]
-    for spec, budget, argv in secondaries:
-        result = run_child(dict(spec), budget, argv=argv)
+    for name, spec, budget, argv in secondaries:
+        result = run_child(dict(spec), budget, argv=argv, name=name)
         if result is not None:
             print(json.dumps(result))
 
@@ -431,7 +510,7 @@ def main() -> None:
     ]
     for spec, budget, tries in attempts:
         for _ in range(tries):
-            result = run_child(dict(spec), budget)
+            result = run_child(dict(spec), budget, name=spec["kind"])
             if result is not None:
                 print(json.dumps(result))
                 return
