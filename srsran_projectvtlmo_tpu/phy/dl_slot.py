@@ -427,6 +427,13 @@ class DlSlotProgram:
                     grid = grid.at[port, sym,
                                    pl["rb0"] * 12:pl["rb0"] * 12 + row.shape[0]
                                    ].add(row)
+        if getattr(self.cell, "grid_bf16", False):
+            # cbf16 grid storage (reference: resource_grid_impl.h:41-51):
+            # everything above accumulated in float32; the materialized
+            # grid — what the modulator reads and what leaves the device —
+            # is bfloat16 real pairs (half the HBM traffic).  The OFDM
+            # modulate upcasts per-symbol for the FFT.
+            grid = grid.astype(jnp.bfloat16)
         samples = ofdm_mod.ofdm_modulate(
             grid, self.cell.dft_size, self.cell.numerology, slot_in_sf)
         return grid, samples

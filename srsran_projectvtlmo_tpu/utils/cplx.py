@@ -31,6 +31,10 @@ def np_to_pair(z: np.ndarray, dtype=np.float32) -> np.ndarray:
 
 def pair_to_np(pair: np.ndarray) -> np.ndarray:
     pair = np.asarray(pair)
+    if pair.dtype not in (np.float32, np.float64):
+        # bf16 grid storage arrives as an ml_dtypes extension dtype that
+        # can't cast straight to complex; upcast through float32.
+        pair = pair.astype(np.float32)
     return pair[..., 0].astype(np.complex64) + 1j * pair[..., 1].astype(np.complex64)
 
 

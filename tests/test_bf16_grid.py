@@ -85,3 +85,47 @@ def test_bf16_grid_4port_2layer_parity():
     evm32 = np.asarray(out32["evm"])
     evm16 = np.asarray(out16["evm"])
     assert np.all(evm16 - evm32 < 0.01), (evm16, evm32)
+
+
+def test_dl_bf16_grid_parity():
+    """DL assembly with cbf16-equivalent grid storage (CellConfig.grid_bf16,
+    the default): float32 accumulation, bfloat16 materialization.  The grid
+    quantization error is bf16-epsilon-bounded and the OFDM samples' EVM
+    penalty is far below the reference's cbf16 storage budget
+    (reference: lib/phy/support/resource_grid_impl.h:41-51)."""
+    from srsran_projectvtlmo_tpu.fapi.pdus import (
+        DlTtiRequest, TxDataRequest, PdschPdu, SsbPdu)
+    from srsran_projectvtlmo_tpu.phy.upper_phy import CellConfig, UpperPhy
+
+    rng = np.random.default_rng(9)
+    w = np.exp(-2j * np.pi * np.outer(np.arange(2), np.arange(2)) / 2) / np.sqrt(2)
+    prec = tuple(tuple((float(c.real), float(c.imag)) for c in row) for row in w)
+    req = DlTtiRequest(
+        slot=1,
+        ssb=(SsbPdu(phys_cell_id=1, ssb_block_index=0, sfn=0,
+                    half_radio_frame=False),),
+        pdsch=(PdschPdu(rnti=0x4601, rb_start=2, rb_size=20,
+                        modulation=Modulation.QAM256,
+                        target_code_rate=0.8, nof_layers=2,
+                        start_symbol=2, nof_symbols=12, dmrs_symbols=(2,),
+                        precoding=prec),),
+    )
+    cell16 = CellConfig(nof_rb=24, dft_size=512, numerology=1, nof_tx_ports=2)
+    cell32 = dataclasses.replace(cell16, grid_bf16=False)
+    assert cell16.grid_bf16  # the default IS bf16 storage
+    from srsran_projectvtlmo_tpu.phy import dl_slot as dl_mod
+
+    tbs = dl_mod.get_dl_slot_program(req, cell16).pdsch_cfgs[0].tbs
+    tx_data = TxDataRequest(slot=1, tb_bits=[
+        rng.integers(0, 2, tbs).astype(np.uint8)])
+    g16, s16 = UpperPhy(cell16).process_dl_slot(req, tx_data)
+    g32, s32 = UpperPhy(cell32).process_dl_slot(req, tx_data)
+
+    assert g16.dtype == np.complex64 and g16.shape == g32.shape
+    # Grid: bf16 has 8 mantissa bits -> relative error <= 2^-8 per RE.
+    scale = np.abs(g32).max()
+    np.testing.assert_allclose(g16, g32, atol=scale * 2 ** -8)
+    # Samples: EVM penalty of the quantized grid is < 0.5%.
+    err = np.sqrt(np.mean((s16 - s32) ** 2))
+    ref = np.sqrt(np.mean(s32 ** 2))
+    assert err / ref < 5e-3, f"DL bf16 sample EVM {err / ref:.4f}"

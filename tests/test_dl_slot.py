@@ -12,8 +12,11 @@ from srsran_projectvtlmo_tpu.fapi.pdus import (
 from srsran_projectvtlmo_tpu.phy.upper_phy import CellConfig, UpperPhy
 from srsran_projectvtlmo_tpu.ran.modulation import Modulation
 
+# Oracle tests below compare assembled REs against float32 numpy oracles at
+# 1e-6-scale tolerances: pin float32 grid storage (the default bf16 storage
+# path is covered by tests/test_bf16_grid.py::test_dl_bf16_grid_parity).
 CELL4 = CellConfig(nof_rb=52, dft_size=1024, numerology=1, phys_cell_id=1,
-                   nof_tx_ports=4, nof_rx_ports=4)
+                   nof_tx_ports=4, nof_rx_ports=4, grid_bf16=False)
 
 
 class TestPrecodedPdsch:
@@ -236,7 +239,7 @@ class TestDlDynamicValues:
         from srsran_projectvtlmo_tpu.models.sch_tx import build_sch_symbols_tx
 
         cell = CellConfig(nof_rb=24, dft_size=512, numerology=1,
-                          nof_tx_ports=1, nof_rx_ports=1)
+                          nof_tx_ports=1, nof_rx_ports=1, grid_bf16=False)
         phy = UpperPhy(cell)
         rng = np.random.default_rng(2)
         for rv in (0, 2):
@@ -408,7 +411,7 @@ class TestPdschReservedRe:
             get_dl_slot_program, _pdsch_cfg)
 
         cell = CellConfig(nof_rb=52, dft_size=1024, numerology=1,
-                          phys_cell_id=1)
+                          phys_cell_id=1, grid_bf16=False)
         phy = UpperPhy(cell)
         slot = 3
         csi_cfg = CsiRsConfig(nof_rb=24, prb_start=4, row=1, k_ref=(1,),
