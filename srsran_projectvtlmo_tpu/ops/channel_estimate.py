@@ -78,9 +78,12 @@ def estimate_channel_hop(
     lse_sym = y * jnp.conj(r) / (jnp.abs(r) ** 2)
     nsym = rx_pilots_pair.shape[-3]
 
-    # CFO from the phase drift between DM-RS symbols, then derotate the
-    # per-symbol LSEs to a common epoch before averaging
-    # (reference: port_channel_estimator_average_impl.cpp:236-253).
+    # CFO from the phase drift between the FIRST TWO DM-RS symbols (the
+    # reference estimates it from symbols 0/1 only: noisy_phase =
+    # arg(dot_prod(products_1, products_0)), then derotates EVERY symbol's
+    # products to epoch 0 before averaging
+    # (reference: port_channel_estimator_average_impl.cpp:
+    # preprocess_pilots_and_cfo, :236-253).
     if nsym >= 2:
         have_epochs = (dmrs_epochs_s is not None and len(dmrs_epochs_s) == nsym)
         if have_epochs:
@@ -88,9 +91,9 @@ def estimate_channel_hop(
         else:
             # Fallback: assume adjacent symbols, one OFDM symbol (~1/scs) apart.
             epochs = np.arange(nsym, dtype=np.float32) / np.float32(scs_hz)
-        dt = float(epochs[-1] - epochs[0]) / (nsym - 1)
-        xcorr = jnp.sum(lse_sym[..., 1:, :] * jnp.conj(lse_sym[..., :-1, :]),
-                        axis=(-1, -2))
+        dt = float(epochs[1] - epochs[0])
+        xcorr = jnp.sum(lse_sym[..., 1, :] * jnp.conj(lse_sym[..., 0, :]),
+                        axis=-1)
         cfo_hz = jnp.angle(xcorr) / (2.0 * jnp.pi * dt)
         if have_epochs:
             # Derotate per-symbol LSEs to epoch 0 before averaging.
@@ -133,14 +136,28 @@ def estimate_channel_hop(
     epre_f = jnp.mean(jnp.abs(y) ** 2, axis=(-1, -2))
     noise_var = jnp.maximum(noise_var, 1e-9 * epre_f + 1e-30)
 
-    # Time alignment: IDFT of the averaged LSE, parabolic-free argmax.
-    nfft = _next_pow2(4 * npil)
-    imp = jnp.fft.ifft(lse, n=nfft, axis=-1)
-    power = jnp.abs(imp) ** 2
-    peak = jnp.argmax(power, axis=-1)
-    # Map wrapped peak index to signed delay in seconds over the pilot bandwidth.
-    delay_idx = jnp.where(peak > nfft // 2, peak - nfft, peak)
-    ta_s = delay_idx.astype(jnp.float32) / (nfft * stride * scs_hz)
+    # Time alignment, reference algorithm
+    # (time_alignment_estimator_dft_impl.cpp, DFT_SIZE=4096): place the
+    # SMOOTHED pilot estimates at their stride-spaced subcarrier positions
+    # of a 4096-point IDFT (the absolute RB offset only contributes a
+    # unit-magnitude time modulation, so it is dropped), then compare the
+    # strongest |tap| in the first `max_ta` samples (delay) against the
+    # strongest in the last `max_ta` (advance).
+    nfft = 4096
+    pad = jnp.zeros(smoothed.shape[:-1] + (nfft,), smoothed.dtype)
+    pad = pad.at[..., 0:npil * stride:stride].set(smoothed)
+    imp = jnp.abs(jnp.fft.ifft(pad, axis=-1))
+    max_ta = (144 // 2) * nfft // 2048  # 144 samples at rate nfft*scs
+    d_mag = imp[..., :max_ta]
+    a_mag = imp[..., nfft - max_ta:]
+    d_idx = jnp.argmax(d_mag, axis=-1)
+    a_idx = jnp.argmax(a_mag, axis=-1)
+    d_val = jnp.max(d_mag, axis=-1)
+    a_val = jnp.max(a_mag, axis=-1)
+    rate = np.float32(nfft) * np.float32(scs_hz)
+    ta_s = jnp.where(d_val >= a_val,
+                     d_idx.astype(jnp.float32),
+                     -(max_ta - a_idx).astype(jnp.float32)) / rate
 
     # Interpolate the smoothed pilot estimates to all subcarriers.
     nsubc = nof_rb * 12
@@ -198,18 +215,16 @@ def _sliding_windows(x, width: int):
 
 
 def _linear_interp(xp, fp, x):
-    """Linear interpolation of complex fp(..., np) sampled at xp (np,) onto x (nx,)."""
+    """Linear interpolation of complex fp(..., np) sampled at xp (np,) onto x
+    (nx,), holding the edge values constant outside [xp[0], xp[-1]] (the
+    reference repeats the first/last known value instead of extrapolating,
+    interpolator_linear_impl.cpp:60-77)."""
     idx = jnp.clip(jnp.searchsorted(xp, x, side="right") - 1, 0, xp.shape[0] - 2)
     x0 = xp[idx]
     x1 = xp[idx + 1]
-    w = ((x - x0) / (x1 - x0)).astype(jnp.float32)
+    w = jnp.clip(((x - x0) / (x1 - x0)).astype(jnp.float32), 0.0, 1.0)
     f0 = fp[..., idx]
     f1 = fp[..., idx + 1]
     return f0 + (f1 - f0) * w
 
 
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p <<= 1
-    return p

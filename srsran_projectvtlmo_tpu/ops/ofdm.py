@@ -31,15 +31,19 @@ def nof_symbols_per_slot(cp: str = "normal") -> int:
 def cp_lengths(dft_size: int, mu: int, slot_in_subframe: int, cp: str = "normal") -> list[int]:
     """CP lengths in samples for the symbols of the given slot.
 
-    Normal CP: 14 symbols, 144 * (dft/2048) samples each, +16 * (dft/2048) on
-    symbols at subframe position l = 0 and l = 7 * 2^mu (first of each half
-    subframe). Extended CP: 12 symbols, 512 * (dft/2048) each (TS 38.211
-    Table 5.3.1-1).
+    Normal CP: 14 symbols, 144 * (dft/2048) samples each, plus
+    16 * 2^mu * (dft/2048) on symbols at subframe position l = 0 and
+    l = 7 * 2^mu (first of each half subframe): the 16-kappa term of TS
+    38.211 Section 5.3.1 is NOT scaled by 2^-mu, so in samples at rate
+    dft * scs it grows with 2^mu (found by the reference OFDM oracle:
+    ofdm_modulator_impl get_symbol_size; slot at dft 512 / mu 1 is 7680
+    samples, not 7676).  Extended CP: 12 symbols, 512 * (dft/2048) each
+    (TS 38.211 Table 5.3.1-1).
     """
     if cp == "extended":
         return [512 * dft_size // 2048] * SYMBOLS_PER_SLOT_EXTENDED
     base = 144 * dft_size // 2048
-    extra = 16 * dft_size // 2048
+    extra = 16 * (1 << mu) * dft_size // 2048
     lengths = []
     for l_slot in range(SYMBOLS_PER_SLOT):
         l_sub = slot_in_subframe * SYMBOLS_PER_SLOT + l_slot

@@ -111,3 +111,34 @@ g++ -O2 -std=c++17 $EINC -c "$(dirname "$0")/dump_eq.cpp" -o dump_eq.o
 g++ -o dump_eq dump_eq.o channel_equalizer_generic_impl.o \
   log_likelihood_ratio.o bit.o compare.o dot_prod.o sc_prod.o aligned_vec.o
 echo "built $OUT/dump_eq"
+
+# Channel-estimator cross-validation dumper (port_channel_estimator_average_impl).
+CINC="$INC -I$REF/lib/phy/upper/signal_processors -I$REF/lib/phy/support -I$REF/lib/phy/generic_functions"
+for f in \
+  $REF/lib/phy/upper/signal_processors/port_channel_estimator_average_impl.cpp \
+  $REF/lib/phy/support/interpolator/interpolator_linear_impl.cpp \
+  $REF/lib/phy/support/time_alignment_estimator/time_alignment_estimator_dft_impl.cpp \
+  $REF/lib/srsvec/conversion.cpp $REF/lib/srsvec/convolution.cpp \
+  $REF/lib/srsvec/unwrap.cpp $REF/lib/srsvec/subtract.cpp; do
+  g++ -O2 -std=c++17 $CINC -c "$f" -o "$(basename "$f" .cpp).o"
+done
+g++ -O2 -std=c++17 $CINC -c "$(dirname "$0")/dump_est.cpp" -o dump_est.o
+g++ -o dump_est dump_est.o port_channel_estimator_average_impl.o \
+  interpolator_linear_impl.o time_alignment_estimator_dft_impl.o \
+  dft_processor_generic_impl.o conversion.o convolution.o unwrap.o subtract.o \
+  accumulate.o add.o prod.o sc_prod.o dot_prod.o compare.o bit.o \
+  modulus_square.o aligned_vec.o log_likelihood_ratio.o
+echo "built $OUT/dump_est"
+
+# OFDM modulator/demodulator cross-validation dumper.
+OINC="$INC -I$REF/lib/phy/lower/modulation -I$REF/lib/phy/generic_functions"
+for f in \
+  $REF/lib/phy/lower/modulation/ofdm_modulator_impl.cpp \
+  $REF/lib/phy/lower/modulation/ofdm_demodulator_impl.cpp; do
+  g++ -O2 -std=c++17 $OINC -c "$f" -o "$(basename "$f" .cpp).o"
+done
+g++ -O2 -std=c++17 $OINC -c "$(dirname "$0")/dump_ofdm.cpp" -o dump_ofdm.o
+g++ -o dump_ofdm dump_ofdm.o ofdm_modulator_impl.o ofdm_demodulator_impl.o \
+  dft_processor_generic_impl.o conversion.o sc_prod.o prod.o add.o dot_prod.o \
+  compare.o bit.o accumulate.o modulus_square.o aligned_vec.o log_likelihood_ratio.o
+echo "built $OUT/dump_ofdm"
