@@ -18,3 +18,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
+
+# Persistent compilation cache for the CPU tier (separate from the TPU
+# bench cache).  Two reasons: (a) reruns skip hundreds of XLA:CPU compiles,
+# roughly halving tier wall time; (b) the tier's one known infra flake is a
+# segfault INSIDE the XLA:CPU compiler that only appears late in a
+# long-lived session after ~400 in-process compilations (reproduced at
+# test_polar_rx_chain_matches_reference with the full faulthandler stack in
+# backend_compile_and_load; the same test is rock-solid in a fresh process)
+# — a warm cache removes most of the compile pressure that triggers it.
+from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_cpu"))

@@ -35,11 +35,13 @@ class TestOfdm:
     def test_cp_lengths(self):
         # 30 kHz SCS, 4096-point: symbol 0 of slot 0 has the long CP.
         cps = ofdm.cp_lengths(4096, 1, 0)
-        assert cps[0] == 288 + 32
+        # 16-kappa term scales with 2^mu in samples: 16 * 2 * 4096/2048 = 64
+        # (verified float-exact vs the reference modulator, ofdm oracle).
+        assert cps[0] == 288 + 64
         assert all(c == 288 for c in cps[1:])
         # Slot 1 at 30 kHz starts the second half subframe -> long CP too.
         cps1 = ofdm.cp_lengths(4096, 1, 1)
-        assert cps1[0] == 288 + 32
+        assert cps1[0] == 288 + 64
         # 15 kHz: symbols 0 and 7 long.
         cps15 = ofdm.cp_lengths(2048, 0, 0)
         assert cps15[0] == 160 and cps15[7] == 160 and cps15[1] == 144

@@ -75,7 +75,8 @@ class TestDlSlot:
         from srsran_projectvtlmo_tpu.ops.dmrs import dmrs_type1_sequence
         ref = dmrs_type1_sequence(0, 2, 3, 4, prb_start=10)
         got = grid[2, 120:168][0::2]
-        np.testing.assert_allclose(got, ref, rtol=1e-6)
+        # bf16 grid storage (CellConfig default): compare at bf16 epsilon.
+        np.testing.assert_allclose(got, ref, atol=5e-3)
 
 
 class TestUlSlot:
