@@ -31,3 +31,8 @@ from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache(os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache_cpu"))
+# Only persist executables whose compile took >= 0.5 s: the warm-run win
+# comes from the expensive programs, and skipping the hundreds of trivial
+# serializations also shrinks the native cache-write surface (one observed
+# crash was inside executable serialization, put_executable_and_time).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

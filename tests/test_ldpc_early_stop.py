@@ -90,19 +90,59 @@ class TestEarlyStop:
         """The batch-major production kernel matches the column-major kernel
         bit-for-bit on noisy, partially-converging batches (incl. padding).
         z must be a whole number of 128-lane vregs for the batch-major path
-        (smaller z transparently falls back to the column-major kernel)."""
-        from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import (
-            ldpc_decode_pallas_es_bm)
+        (smaller z transparently falls back to the column-major kernel).
 
-        info, llr, kp = _crc_codewords(bg, z, 7, "CRC24B", seed=11)
-        rng = np.random.default_rng(12)
-        noisy = np.where(rng.random(llr.shape) < 0.07, -llr // 2, llr).astype(np.int8)
-        # One hopeless CB to exercise the non-converged path.
-        noisy[3] = rng.integers(-20, 20, noisy.shape[1]).astype(np.int8)
-        r32 = ldpc_decode_pallas_es(jnp.asarray(noisy), bg, z, "CRC24B", kp, 6)
-        rbm = ldpc_decode_pallas_es_bm(jnp.asarray(noisy), bg, z, "CRC24B", kp, 6)
-        for a, b in zip(r32, rbm):
-            assert (np.asarray(a) == np.asarray(b)).all()
+        Runs in a SUBPROCESS: both kernels in interpreter mode at z=128 are
+        the largest XLA:CPU compilations in the suite, and the one known
+        infra flake is a segfault in XLA native code (compile / executable
+        serialize) that strikes exactly here when the long-lived worker has
+        already compiled hundreds of programs.  Isolating the compile keeps
+        a crash from taking the whole xdist worker down; a signal-death is
+        retried once, a real bit mismatch fails immediately.
+        """
+        import os
+        import subprocess
+        import sys
+
+        code = f"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache(os.path.join({os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r}, ".jax_cache_cpu"))
+from srsran_projectvtlmo_tpu.ran.ldpc_params import BaseGraph
+from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import (
+    ldpc_decode_pallas_es, ldpc_decode_pallas_es_bm)
+import tests.test_ldpc_early_stop as t
+bg, z = BaseGraph({bg.value!r}), {z}
+info, llr, kp = t._crc_codewords(bg, z, 7, "CRC24B", seed=11)
+rng = np.random.default_rng(12)
+noisy = np.where(rng.random(llr.shape) < 0.07, -llr // 2, llr).astype(np.int8)
+noisy[3] = rng.integers(-20, 20, noisy.shape[1]).astype(np.int8)
+r32 = ldpc_decode_pallas_es(jnp.asarray(noisy), bg, z, "CRC24B", kp, 6)
+rbm = ldpc_decode_pallas_es_bm(jnp.asarray(noisy), bg, z, "CRC24B", kp, 6)
+for a, b in zip(r32, rbm):
+    assert (np.asarray(a) == np.asarray(b)).all(), "bit mismatch"
+print("ES_BM_OK")
+"""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        last = None
+        for _ in range(2):
+            last = subprocess.run([sys.executable, "-c", code], env=env,
+                                  capture_output=True, text=True, timeout=1200)
+            if last.returncode == 0:
+                assert "ES_BM_OK" in last.stdout
+                return
+            if last.returncode > 0:
+                break  # real Python failure (e.g. bit mismatch): no retry
+            # negative rc = killed by signal (the known XLA native crash)
+        pytest.fail(f"subprocess rc={last.returncode}\n{last.stderr[-2000:]}")
 
     def test_undecodable_reports_failure_and_max_iters(self):
         bg, z = BaseGraph.BG1, 64
