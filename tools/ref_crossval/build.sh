@@ -142,3 +142,16 @@ g++ -o dump_ofdm dump_ofdm.o ofdm_modulator_impl.o ofdm_demodulator_impl.o \
   dft_processor_generic_impl.o conversion.o sc_prod.o prod.o add.o dot_prod.o \
   compare.o bit.o accumulate.o modulus_square.o aligned_vec.o log_likelihood_ratio.o
 echo "built $OUT/dump_ofdm"
+
+# Short-block encoder/detector cross-validation dumper.
+SINC="$INC -I$REF/lib/phy/upper/channel_coding/short"
+for f in \
+  $REF/lib/phy/upper/channel_coding/short/short_block_encoder_impl.cpp \
+  $REF/lib/phy/upper/channel_coding/short/short_block_detector_impl.cpp; do
+  g++ -O2 -std=c++17 $SINC -c "$f" -o "$(basename "$f" .cpp).o"
+done
+g++ -O2 -std=c++17 $SINC -c "$(dirname "$0")/dump_short.cpp" -o dump_short.o
+g++ -o dump_short dump_short.o short_block_encoder_impl.o \
+  short_block_detector_impl.o log_likelihood_ratio.o bit.o dot_prod.o \
+  compare.o accumulate.o aligned_vec.o
+echo "built $OUT/dump_short"
