@@ -33,6 +33,57 @@ def _crc_codewords(bg: BaseGraph, z: int, batch: int, crc: str, seed: int = 0):
     return info, llr, kp
 
 
+
+
+def _run_isolated(body: str):
+    """Run a kernel-parity comparison in a FRESH interpreter.
+
+    The giant interpreter-mode Pallas LDPC programs (z=96..352) are the
+    largest XLA:CPU executables in the suite, and the one known infra flake
+    is a segfault in XLA native code -- observed in compile, executable
+    serialize AND deserialize frames -- that only strikes these tests inside
+    a long-lived worker that has already handled hundreds of programs (each
+    passes every time in a fresh process).  Isolating the native work keeps
+    a crash from taking the xdist worker (and an innocent concurrent test)
+    down; a signal-death is retried once, a real assertion failure (rc>0)
+    fails immediately.
+    """
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pre = f"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache(os.path.join({repo!r}, ".jax_cache_cpu"))
+from srsran_projectvtlmo_tpu.ran.ldpc_params import BaseGraph
+from srsran_projectvtlmo_tpu.ops.ldpc.decode import ldpc_decode_es
+from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import (
+    ldpc_decode_pallas_es, ldpc_decode_pallas_es_bm)
+import tests.test_ldpc_early_stop as t
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    last = None
+    for _ in range(2):
+        last = subprocess.run([sys.executable, "-c", pre + body], env=env,
+                              capture_output=True, text=True, timeout=1200)
+        if last.returncode == 0:
+            return
+        if last.returncode > 0:
+            break  # real Python failure (e.g. bit mismatch): no retry
+        # negative rc = killed by signal (the known XLA native crash)
+    pytest.fail(f"isolated kernel parity rc={last.returncode}\n"
+                f"{last.stderr[-2000:]}")
+
+
 class TestEarlyStop:
     @pytest.mark.parametrize("bg,z", [(BaseGraph.BG1, 64), (BaseGraph.BG2, 52)])
     def test_clean_converges_first_iteration(self, bg, z):
@@ -60,14 +111,16 @@ class TestEarlyStop:
 
     @pytest.mark.slow
     def test_pallas_matches_xla(self):
-        bg, z = BaseGraph.BG1, 96
-        info, llr, kp = _crc_codewords(bg, z, 8, "CRC24B", seed=3)
-        rng = np.random.default_rng(4)
-        noisy = np.where(rng.random(llr.shape) < 0.06, -llr // 2, llr).astype(np.int8)
-        r_x = ldpc_decode_es(jnp.asarray(noisy), bg, z, "CRC24B", kp)
-        r_p = ldpc_decode_pallas_es(jnp.asarray(noisy), bg, z, "CRC24B", kp)
-        for a, b in zip(r_x, r_p):
-            assert (np.asarray(a) == np.asarray(b)).all()
+        _run_isolated("""
+bg, z = BaseGraph(1), 96
+info, llr, kp = t._crc_codewords(bg, z, 8, "CRC24B", seed=3)
+rng = np.random.default_rng(4)
+noisy = np.where(rng.random(llr.shape) < 0.06, -llr // 2, llr).astype(np.int8)
+r_x = ldpc_decode_es(jnp.asarray(noisy), bg, z, "CRC24B", kp)
+r_p = ldpc_decode_pallas_es(jnp.asarray(noisy), bg, z, "CRC24B", kp)
+for a, b in zip(r_x, r_p):
+    assert (np.asarray(a) == np.asarray(b)).all(), "bit mismatch"
+""")
 
     @pytest.mark.slow
     def test_pallas_batch_padding(self):
@@ -91,32 +144,8 @@ class TestEarlyStop:
         bit-for-bit on noisy, partially-converging batches (incl. padding).
         z must be a whole number of 128-lane vregs for the batch-major path
         (smaller z transparently falls back to the column-major kernel).
-
-        Runs in a SUBPROCESS: both kernels in interpreter mode at z=128 are
-        the largest XLA:CPU compilations in the suite, and the one known
-        infra flake is a segfault in XLA native code (compile / executable
-        serialize) that strikes exactly here when the long-lived worker has
-        already compiled hundreds of programs.  Isolating the compile keeps
-        a crash from taking the whole xdist worker down; a signal-death is
-        retried once, a real bit mismatch fails immediately.
-        """
-        import os
-        import subprocess
-        import sys
-
-        code = f"""
-import os
-os.environ["JAX_PLATFORMS"] = "cpu"
-import numpy as np
-import jax
-jax.config.update("jax_platforms", "cpu")
-import jax.numpy as jnp
-from srsran_projectvtlmo_tpu.utils.cache import enable_compilation_cache
-enable_compilation_cache(os.path.join({os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r}, ".jax_cache_cpu"))
-from srsran_projectvtlmo_tpu.ran.ldpc_params import BaseGraph
-from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import (
-    ldpc_decode_pallas_es, ldpc_decode_pallas_es_bm)
-import tests.test_ldpc_early_stop as t
+        Runs isolated -- see _run_isolated."""
+        _run_isolated(f"""
 bg, z = BaseGraph({bg.value!r}), {z}
 info, llr, kp = t._crc_codewords(bg, z, 7, "CRC24B", seed=11)
 rng = np.random.default_rng(12)
@@ -126,23 +155,7 @@ r32 = ldpc_decode_pallas_es(jnp.asarray(noisy), bg, z, "CRC24B", kp, 6)
 rbm = ldpc_decode_pallas_es_bm(jnp.asarray(noisy), bg, z, "CRC24B", kp, 6)
 for a, b in zip(r32, rbm):
     assert (np.asarray(a) == np.asarray(b)).all(), "bit mismatch"
-print("ES_BM_OK")
-"""
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-        last = None
-        for _ in range(2):
-            last = subprocess.run([sys.executable, "-c", code], env=env,
-                                  capture_output=True, text=True, timeout=1200)
-            if last.returncode == 0:
-                assert "ES_BM_OK" in last.stdout
-                return
-            if last.returncode > 0:
-                break  # real Python failure (e.g. bit mismatch): no retry
-            # negative rc = killed by signal (the known XLA native crash)
-        pytest.fail(f"subprocess rc={last.returncode}\n{last.stderr[-2000:]}")
+""")
 
     def test_undecodable_reports_failure_and_max_iters(self):
         bg, z = BaseGraph.BG1, 64
@@ -281,16 +294,14 @@ class TestPackedLaneKernel:
         (BaseGraph.BG2, 40), (BaseGraph.BG2, 104), (BaseGraph.BG1, 176),
         (BaseGraph.BG1, 208), (BaseGraph.BG1, 352)])
     def test_packed_matches_xla_es(self, bg, z):
-        from srsran_projectvtlmo_tpu.ops.ldpc.decode_pallas import (
-            ldpc_decode_pallas_es_bm)
-
-        info, llr, kp = _crc_codewords(bg, z, 5, "CRC24B", seed=z)
-        rng = np.random.default_rng(z + 1)
-        noisy = np.where(rng.random(llr.shape) < 0.04, -llr // 2,
-                         llr).astype(np.int8)
-        r_p = ldpc_decode_pallas_es_bm(jnp.asarray(noisy), bg, z, "CRC24B",
-                                       kp, 3, 0.8, 2)
-        r_x = ldpc_decode_es(jnp.asarray(noisy), bg, z, "CRC24B", kp,
-                             nof_iterations=3)
-        for a, b in zip(r_p, r_x):
-            assert (np.asarray(a) == np.asarray(b)).all()
+        """Runs isolated -- see _run_isolated."""
+        _run_isolated(f"""
+bg, z = BaseGraph({bg.value!r}), {z}
+info, llr, kp = t._crc_codewords(bg, z, 5, "CRC24B", seed=z)
+rng = np.random.default_rng(z + 1)
+noisy = np.where(rng.random(llr.shape) < 0.04, -llr // 2, llr).astype(np.int8)
+r_p = ldpc_decode_pallas_es_bm(jnp.asarray(noisy), bg, z, "CRC24B", kp, 3, 0.8, 2)
+r_x = ldpc_decode_es(jnp.asarray(noisy), bg, z, "CRC24B", kp, nof_iterations=3)
+for a, b in zip(r_p, r_x):
+    assert (np.asarray(a) == np.asarray(b)).all(), "bit mismatch"
+""")
