@@ -155,3 +155,17 @@ g++ -o dump_short dump_short.o short_block_encoder_impl.o \
   short_block_detector_impl.o log_likelihood_ratio.o bit.o dot_prod.o \
   compare.o accumulate.o aligned_vec.o
 echo "built $OUT/dump_short"
+
+# Gold PRG + low-PAPR sequence cross-validation dumper.
+QINC="$INC -I$REF/external -I$REF/lib/phy/upper/sequence_generators"
+for f in \
+  $REF/lib/phy/upper/sequence_generators/pseudo_random_generator_impl.cpp \
+  $REF/lib/phy/upper/sequence_generators/low_papr_sequence_generator_impl.cpp \
+  $REF/lib/support/math_utils.cpp; do
+  g++ -O2 -std=c++17 $QINC -c "$f" -o "$(basename "$f" .cpp).o"
+done
+g++ -O2 -std=c++17 $QINC -c "$(dirname "$0")/dump_seq.cpp" -o dump_seq.o
+g++ -o dump_seq dump_seq.o pseudo_random_generator_impl.o \
+  low_papr_sequence_generator_impl.o math_utils.o log_likelihood_ratio.o \
+  bit.o dot_prod.o compare.o accumulate.o sc_prod.o prod.o aligned_vec.o
+echo "built $OUT/dump_seq"
