@@ -169,3 +169,16 @@ g++ -o dump_seq dump_seq.o pseudo_random_generator_impl.o \
   low_papr_sequence_generator_impl.o math_utils.o log_likelihood_ratio.o \
   bit.o dot_prod.o compare.o accumulate.o sc_prod.o prod.o aligned_vec.o
 echo "built $OUT/dump_seq"
+
+# PSS/SSS cross-validation dumper.
+BINC="$INC -I$REF/external -I$REF/lib/phy/upper/signal_processors"
+for f in \
+  $REF/lib/phy/upper/signal_processors/pss_processor_impl.cpp \
+  $REF/lib/phy/upper/signal_processors/sss_processor_impl.cpp; do
+  g++ -O2 -std=c++17 $BINC -c "$f" -o "$(basename "$f" .cpp).o"
+done
+g++ -O2 -std=c++17 $BINC -c "$(dirname "$0")/dump_ssb.cpp" -o dump_ssb.o
+g++ -o dump_ssb dump_ssb.o pss_processor_impl.o sss_processor_impl.o prod.o \
+  sc_prod.o compare.o bit.o dot_prod.o accumulate.o aligned_vec.o \
+  log_likelihood_ratio.o
+echo "built $OUT/dump_ssb"
