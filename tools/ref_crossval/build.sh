@@ -182,3 +182,15 @@ g++ -o dump_ssb dump_ssb.o pss_processor_impl.o sss_processor_impl.o prod.o \
   sc_prod.o compare.o bit.o dot_prod.o accumulate.o aligned_vec.o \
   log_likelihood_ratio.o
 echo "built $OUT/dump_ssb"
+
+# PUCCH format-0 detector cross-validation dumper.
+PUINC="$INC -I$REF/external -I$REF/lib/phy/upper/channel_processors -I$REF/lib/phy/upper/sequence_generators -I$REF/lib/phy/upper/signal_processors/pucch -I$REF/lib/phy/upper/signal_processors"
+g++ -O2 -std=c++17 $PUINC -c $REF/lib/phy/upper/channel_processors/pucch_detector_format0.cpp -o pucch_detector_format0.o
+g++ -O2 -std=c++17 $PUINC -c $REF/lib/phy/upper/sequence_generators/low_papr_sequence_collection_impl.cpp -o low_papr_sequence_collection_impl.o
+g++ -O2 -std=c++17 $PUINC -c "$(dirname "$0")/dump_pucch0.cpp" -o dump_pucch0.o
+g++ -o dump_pucch0 dump_pucch0.o pucch_detector_format0.o \
+  low_papr_sequence_collection_impl.o low_papr_sequence_generator_impl.o \
+  pseudo_random_generator_impl.o math_utils.o prod.o sc_prod.o compare.o \
+  bit.o dot_prod.o accumulate.o aligned_vec.o log_likelihood_ratio.o \
+  modulus_square.o
+echo "built $OUT/dump_pucch0"
