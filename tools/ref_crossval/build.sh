@@ -194,3 +194,10 @@ g++ -o dump_pucch0 dump_pucch0.o pucch_detector_format0.o \
   bit.o dot_prod.o accumulate.o aligned_vec.o log_likelihood_ratio.o \
   modulus_square.o
 echo "built $OUT/dump_pucch0"
+
+# DM-RS sequence cross-validation dumper.
+DINC="$INC -I$REF/external -I$REF/lib/phy/upper/signal_processors -I$REF/lib/phy/upper/sequence_generators"
+g++ -O2 -std=c++17 $DINC -c "$(dirname "$0")/dump_dmrs.cpp" -o dump_dmrs.o
+g++ -o dump_dmrs dump_dmrs.o pseudo_random_generator_impl.o \
+  log_likelihood_ratio.o bit.o compare.o dot_prod.o accumulate.o aligned_vec.o
+echo "built $OUT/dump_dmrs"
