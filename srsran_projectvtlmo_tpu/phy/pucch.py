@@ -157,6 +157,22 @@ def _f1_hop_ranges(cfg: PucchFormat1Config) -> list[tuple[int, int]]:
     return [(0, half), (half, cfg.nof_symbols)]
 
 
+#: TS 38.211 Table 6.3.2.4.1-2 phi rows for spreading factor 4: the table is
+#: Walsh-Hadamard ordered, NOT the DFT rows (found by the reference-detector
+#: oracle: occ index 1/2 waveforms with 4 data symbols failed cross-detection;
+#: every other spreading factor's table equals phi(i, m) = i*m mod N).
+_F1_OCC_PHI_N4 = ((0, 0, 0, 0), (0, 2, 0, 2), (0, 0, 2, 2), (0, 2, 2, 0))
+
+
+def _f1_occ_weights(i: int, n: int) -> np.ndarray:
+    """w_i(m) = exp(2 pi j phi_i(m) / N), TS 38.211 Table 6.3.2.4.1-2."""
+    if n == 4:
+        phi = np.asarray(_F1_OCC_PHI_N4[i % 4])
+    else:
+        phi = (i * np.arange(max(n, 1))) % max(n, 1)
+    return np.exp(2j * np.pi * phi / max(n, 1)).astype(np.complex64)
+
+
 @functools.lru_cache(maxsize=None)
 def _f1_tables(cfg: PucchFormat1Config):
     u, v = pucch_group_sequence(cfg.n_id)
@@ -167,17 +183,15 @@ def _f1_tables(cfg: PucchFormat1Config):
         alpha = 2 * np.pi * ((cfg.initial_cyclic_shift + ncs) % NRE) / NRE
         seqs.append(low_papr_sequence(u, v, alpha, NRE))
     seqs = np.stack(seqs)  # (S, 12)
-    # OCC w_i(m) = exp(2 pi j i m / N) (DFT codes), per hop: the spreading
-    # factor is each hop's own data/DM-RS symbol count.
+    # OCC per hop: the spreading factor is each hop's own data/DM-RS symbol
+    # count, weights from the Table 6.3.2.4.1-2 phi rows.
     i = cfg.time_domain_occ
     w_data, w_dmrs = [], []
     for a, b in _f1_hop_ranges(cfg):
         n_dmrs = sum(1 for s in range(a, b) if s % 2 == 0)
         n_data = (b - a) - n_dmrs
-        w_data.append(np.exp(2j * np.pi * i * np.arange(n_data)
-                             / max(n_data, 1)).astype(np.complex64))
-        w_dmrs.append(np.exp(2j * np.pi * i * np.arange(n_dmrs)
-                             / max(n_dmrs, 1)).astype(np.complex64))
+        w_data.append(_f1_occ_weights(i, n_data))
+        w_dmrs.append(_f1_occ_weights(i, n_dmrs))
     return seqs, tuple(w_data), tuple(w_dmrs)
 
 
