@@ -201,3 +201,24 @@ g++ -O2 -std=c++17 $DINC -c "$(dirname "$0")/dump_dmrs.cpp" -o dump_dmrs.o
 g++ -o dump_dmrs dump_dmrs.o pseudo_random_generator_impl.o \
   log_likelihood_ratio.o bit.o compare.o dot_prod.o accumulate.o aligned_vec.o
 echo "built $OUT/dump_dmrs"
+
+# PUCCH format-1 detector + format-2 demodulator cross-validation dumpers.
+P1INC="$INC -I$REF/external -I$REF/lib/phy/upper/channel_processors -I$REF/lib/phy/upper/sequence_generators -I$REF/lib/phy/upper/signal_processors/pucch -I$REF/lib/phy/upper/signal_processors -I$REF/lib/phy/upper/equalization -I$REF/lib/phy/upper/channel_modulation -I$REF/lib/phy/upper/channel_coding/short"
+g++ -O2 -std=c++17 $P1INC -c $REF/lib/phy/upper/channel_processors/pucch_detector_impl.cpp -o pucch_detector_impl.o
+g++ -O2 -std=c++17 $P1INC -c $REF/lib/phy/upper/channel_processors/pucch_demodulator_impl.cpp -o pucch_demodulator_impl.o
+g++ -O2 -std=c++17 $P1INC -c "$(dirname "$0")/dump_pucch1.cpp" -o dump_pucch1.o
+g++ -o dump_pucch1 dump_pucch1.o pucch_detector_impl.o pucch_detector_format0.o \
+  low_papr_sequence_collection_impl.o low_papr_sequence_generator_impl.o \
+  pseudo_random_generator_impl.o channel_equalizer_generic_impl.o math_utils.o \
+  prod.o sc_prod.o compare.o bit.o dot_prod.o accumulate.o aligned_vec.o \
+  log_likelihood_ratio.o modulus_square.o conversion.o add.o subtract.o
+g++ -O2 -std=c++17 $P1INC -c "$(dirname "$0")/dump_pucch2.cpp" -o dump_pucch2.o
+g++ -o dump_pucch2 dump_pucch2.o pucch_demodulator_impl.o \
+  channel_equalizer_generic_impl.o demodulation_mapper_impl.o \
+  demodulation_mapper_qpsk.o demodulation_mapper_qam16.o \
+  demodulation_mapper_qam64.o demodulation_mapper_qam256.o \
+  pseudo_random_generator_impl.o short_block_detector_impl.o \
+  short_block_encoder_impl.o math_utils.o prod.o sc_prod.o compare.o bit.o \
+  dot_prod.o accumulate.o aligned_vec.o log_likelihood_ratio.o \
+  modulus_square.o conversion.o add.o subtract.o
+echo "built $OUT/dump_pucch1 $OUT/dump_pucch2"
