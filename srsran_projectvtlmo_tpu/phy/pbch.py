@@ -69,6 +69,9 @@ class PbchMessage:
     l_max: int = 8
     #: 24-bit MIB-derived part of the payload (bits a_1..a_24 before SFN/HRF/SSB fields).
     mib_payload: tuple[int, ...] = tuple([0] * 24)
+    #: Subcarrier offset k_SSB (TS 38.211 Section 7.4.3.1); its MSB rides in
+    #: the payload when L_max != 64 (reference: pbch_encoder_impl.cpp:75).
+    k_ssb: int = 0
 
 
 def pbch_payload(msg: PbchMessage) -> np.ndarray:
@@ -96,8 +99,8 @@ def pbch_payload(msg: PbchMessage) -> np.ndarray:
         a[G[12]] = (msg.ssb_idx >> 4) & 1
         a[G[13]] = (msg.ssb_idx >> 3) & 1
     else:
-        a[G[11]] = 0  # k_ssb MSB (not carried here)
-        a[G[12]] = 0
+        a[G[11]] = (msg.k_ssb >> 4) & 1
+        a[G[12]] = 0  # reserved
         a[G[13]] = 0
     return a
 

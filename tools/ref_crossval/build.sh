@@ -222,3 +222,15 @@ g++ -o dump_pucch2 dump_pucch2.o pucch_demodulator_impl.o \
   dot_prod.o accumulate.o aligned_vec.o log_likelihood_ratio.o \
   modulus_square.o conversion.o add.o subtract.o
 echo "built $OUT/dump_pucch1 $OUT/dump_pucch2"
+
+# PBCH encoder cross-validation dumper.
+PBINC="$INC -I$REF/external -I$REF/lib/phy/upper/channel_processors -I$REF/lib/phy/upper/channel_coding -I$REF/lib/phy/upper/channel_coding/polar -I$REF/lib/phy/upper/sequence_generators"
+g++ -O2 -std=c++17 $PBINC -c $REF/lib/phy/upper/channel_coding/crc_calculator_lut_impl.cpp -o crc_calculator_lut_impl.o
+g++ -O2 -std=c++17 $PBINC -c $REF/lib/phy/upper/channel_processors/pbch_encoder_impl.cpp -o pbch_encoder_impl.o
+g++ -O2 -std=c++17 $PBINC -c "$(dirname "$0")/dump_pbch.cpp" -o dump_pbch.o
+g++ -o dump_pbch dump_pbch.o pbch_encoder_impl.o crc_calculator_lut_impl.o \
+  polar_allocator_impl.o polar_code_impl.o polar_encoder_impl.o \
+  polar_interleaver_impl.o polar_rate_matcher_impl.o \
+  pseudo_random_generator_impl.o log_likelihood_ratio.o bit.o compare.o \
+  dot_prod.o accumulate.o aligned_vec.o
+echo "built $OUT/dump_pbch"
