@@ -234,3 +234,12 @@ g++ -o dump_pbch dump_pbch.o pbch_encoder_impl.o crc_calculator_lut_impl.o \
   pseudo_random_generator_impl.o log_likelihood_ratio.o bit.o compare.o \
   dot_prod.o accumulate.o aligned_vec.o
 echo "built $OUT/dump_pbch"
+
+# PDCCH encoder cross-validation dumper.
+g++ -O2 -std=c++17 $PBINC -c $REF/lib/phy/upper/channel_processors/pdcch_encoder_impl.cpp -o pdcch_encoder_impl.o
+g++ -O2 -std=c++17 $PBINC -c "$(dirname "$0")/dump_pdcch.cpp" -o dump_pdcch.o
+g++ -o dump_pdcch dump_pdcch.o pdcch_encoder_impl.o crc_calculator_lut_impl.o \
+  polar_allocator_impl.o polar_code_impl.o polar_encoder_impl.o \
+  polar_interleaver_impl.o polar_rate_matcher_impl.o log_likelihood_ratio.o \
+  bit.o compare.o dot_prod.o accumulate.o aligned_vec.o
+echo "built $OUT/dump_pdcch"
